@@ -1,0 +1,233 @@
+"""Build orchestration: ``build_index`` / ``resume`` (SURVEY.md §3.1, §3.3).
+
+Index layout on disk (Parquet locally; Iceberg tables in prod — io.py):
+
+    index_dir/
+      meta.json        build_id, BuildConfig, snapshot, N, avgdl, P, status
+      docs/            doc_id, conv_id, turn_idx, role, tool, ts, text, dl
+      postings/        part-{pid}.parquet — term, salt, df, cf, max_tf_norm,
+                       blocks array<struct<n,max_doc_id,tf_norm_max,
+                       doc_bytes,tf_bytes,dl_bytes>>   (task-written, A9)
+      dictionary/      term, df, cf, max_tf_norm, n_rows, n_blocks
+      manifest/        postings-{pid}.json lineage markers + stage markers
+
+Resumability (A11, BASELINE.json:6 "per-partition lineage checkpoints for
+resumable builds"): every posting shuffle partition commits its own segment
+file + manifest marker atomically; ``resume`` re-runs only pending partitions
+against the *same pinned input snapshot* and is a no-op on a finished build.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localsearchengine_spark.config import BuildConfig
+from localsearchengine_spark.functions.analyze import doc_lengths
+from localsearchengine_spark.operators import postings as P_mod
+from localsearchengine_spark.operators.docids import assign_doc_ids
+from localsearchengine_spark.sources.io import input_snapshot_id, scan_transcripts
+from localsearchengine_spark.utils import atomic_write_json, read_json
+
+
+@dataclass
+class BuildReport:
+    build_id: str
+    n_docs: int = 0
+    avgdl: float = 0.0
+    total_tokens: int = 0
+    num_partitions: int = 0
+    partitions_built: int = 0
+    partitions_skipped: int = 0
+    hot_terms: int = 0
+    elapsed_s: dict = field(default_factory=dict)
+    skew: dict = field(default_factory=dict)
+
+
+def _meta_path(d: str) -> str:
+    return os.path.join(d, "meta.json")
+
+
+def _docs_complete_marker(d: str) -> str:
+    return os.path.join(d, "manifest", "docs-complete.json")
+
+
+def _completed_pids(index_dir: str) -> set[int]:
+    mdir = os.path.join(index_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for f in os.listdir(mdir):
+        if f.startswith("postings-") and f.endswith(".json"):
+            out.add(int(f[len("postings-"):-len(".json")]))
+    return out
+
+
+def _write_docstore(
+    spark: SparkSession, source: str, index_dir: str, conf: BuildConfig
+) -> tuple[int, float, int]:
+    """Docs stage: stable docIDs (A2) + per-doc token length; one tokenize
+    pass; column-pruned write.  Returns (N, avgdl, total_tokens)."""
+    cfg = conf.bm25
+
+    @F.pandas_udf("long")
+    def dl_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(doc_lengths(s, cfg))
+
+    t = scan_transcripts(spark, source)
+    with_ids = assign_doc_ids(t, conf.num_partitions)
+    docs = with_ids.select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text",
+        dl_udf(F.col("text")).alias("dl"),
+    )
+    docs_dir = os.path.join(index_dir, "docs")
+    docs.write.mode("overwrite").parquet(docs_dir)
+    back = spark.read.parquet(docs_dir)
+    row = back.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tok")
+    ).collect()[0]
+    n, tok = int(row["n"]), int(row["tok"] or 0)
+    return n, (tok / n if n else 0.0), tok
+
+
+def build_index(
+    spark: SparkSession,
+    source: str,
+    index_dir: str,
+    conf: BuildConfig | None = None,
+    build_id: str | None = None,
+) -> BuildReport:
+    """Full build; safe to call on a partially-built index (acts as resume
+    when meta.json exists and the input snapshot is unchanged)."""
+    conf = conf or BuildConfig()
+    os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+    snapshot = input_snapshot_id(source)
+    meta_p = _meta_path(index_dir)
+    t_all = time.time()
+
+    if os.path.exists(meta_p):
+        meta = read_json(meta_p)
+        if meta["snapshot"] != snapshot:
+            raise RuntimeError(
+                f"resume against changed input: snapshot {snapshot} != "
+                f"pinned {meta['snapshot']} (A11: input must be identical)"
+            )
+        conf = BuildConfig.from_json(meta["config"])
+        build_id = meta["build_id"]
+    else:
+        build_id = build_id or uuid.uuid4().hex[:12]
+        meta = {
+            "build_id": build_id,
+            "config": conf.to_json(),
+            "snapshot": snapshot,
+            "status": "building",
+            "source": source,
+        }
+        atomic_write_json(meta_p, meta)
+
+    report = BuildReport(build_id=build_id)
+    P = conf.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if "num_partitions" in meta:
+        P = int(meta["num_partitions"])  # resume must reuse the pinned P
+    report.num_partitions = P
+
+    # ---- stage: docs + corpus stats (A2, A5) -------------------------------
+    t0 = time.time()
+    if not os.path.exists(_docs_complete_marker(index_dir)):
+        n, avgdl, tok = _write_docstore(spark, source, index_dir, conf)
+        meta.update(
+            {"n_docs": n, "avgdl": avgdl, "total_tokens": tok, "num_partitions": P}
+        )
+        atomic_write_json(meta_p, meta)
+        atomic_write_json(
+            _docs_complete_marker(index_dir), {"build_id": build_id, "n_docs": n}
+        )
+    report.n_docs = int(meta["n_docs"])
+    report.avgdl = float(meta["avgdl"])
+    report.total_tokens = int(meta["total_tokens"])
+    report.elapsed_s["docs"] = round(time.time() - t0, 3)
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+
+    # ---- stage: hot-term scan (A7 pass 1) ----------------------------------
+    t0 = time.time()
+    if "hot_salts" not in meta:
+        meta["hot_salts"] = P_mod.hot_term_scan(docs, conf)
+        atomic_write_json(meta_p, meta)
+    hot_salts = {k: int(v) for k, v in meta["hot_salts"].items()}
+    report.hot_terms = len(hot_salts)
+    report.elapsed_s["hot_scan"] = round(time.time() - t0, 3)
+
+    # ---- stage: salted shuffle build of compressed postings (A4,A6-A9) ----
+    t0 = time.time()
+    done = _completed_pids(index_dir)
+    pending = sorted(set(range(P)) - done)
+    report.partitions_skipped = len(done)
+    if pending:
+        emitted = P_mod.emit_postings(docs, conf, hot_salts, report.n_docs)
+        P_mod.build_posting_partitions(
+            emitted,
+            conf=conf,
+            avgdl=report.avgdl,
+            num_partitions=P,
+            postings_dir=os.path.join(index_dir, "postings"),
+            manifest_dir=os.path.join(index_dir, "manifest"),
+            build_id=build_id,
+            pending=pending if done else None,
+        )
+        # the job succeeded ⇒ partitions with no data are complete-empty
+        still = sorted(set(range(P)) - _completed_pids(index_dir))
+        for pid in still:
+            atomic_write_json(
+                os.path.join(index_dir, "manifest", f"postings-{pid:05d}.json"),
+                {"build_id": build_id, "stage": "postings", "pid": pid,
+                 "postings": 0, "terms": 0, "bytes": 0, "elapsed_s": 0.0,
+                 "top_terms": []},
+            )
+    report.partitions_built = len(pending)
+    report.elapsed_s["postings"] = round(time.time() - t0, 3)
+
+    # ---- stage: dictionary (A14 support) + finalize ------------------------
+    t0 = time.time()
+    post_dir = os.path.join(index_dir, "postings")
+    if any(f.endswith(".parquet") for f in os.listdir(post_dir)) if os.path.isdir(post_dir) else False:
+        pdf = spark.read.parquet(post_dir)
+        # column pruning: the binary `blocks` column is never read here
+        (
+            pdf.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_tf_norm").alias("max_tf_norm"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.size("blocks")).alias("n_blocks"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "dictionary"))
+        )
+    manifest_rows = [
+        read_json(os.path.join(index_dir, "manifest", f))
+        for f in sorted(os.listdir(os.path.join(index_dir, "manifest")))
+        if f.startswith("postings-")
+    ]
+    report.skew = P_mod.skew_report(manifest_rows)
+    meta["status"] = "complete"
+    meta["skew"] = report.skew
+    atomic_write_json(meta_p, meta)
+    report.elapsed_s["dictionary"] = round(time.time() - t0, 3)
+    report.elapsed_s["total"] = round(time.time() - t_all, 3)
+    return report
+
+
+def resume(spark: SparkSession, source: str, index_dir: str) -> BuildReport:
+    """A11 — re-run only pending partitions; no-op on a finished build."""
+    if not os.path.exists(_meta_path(index_dir)):
+        raise RuntimeError(f"no build to resume at {index_dir}")
+    return build_index(spark, source, index_dir)

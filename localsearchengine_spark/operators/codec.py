@@ -1,0 +1,150 @@
+"""A8 — delta+varint block compression of sorted docID postings.
+
+BASELINE.json:6 mandates "delta+varint block compression of sorted docID
+postings".  This module is pure NumPy (vectorized LEB128) so it runs inside
+the Arrow-batched ``applyInPandas``/``mapInPandas`` build stage (SURVEY.md
+§3.1 step 7) with no per-row Python.
+
+Block layout (per posting-list block of up to ``block_size`` postings):
+  n            int32   postings in this block
+  max_doc_id   int64   last (max) doc_id — enables whole-block skipping (A16/A17)
+  tf_norm_max  float64 max over docs of tf/(tf + k1*(1-b+b*dl/avgdl)) —
+                       block-max score bound = idf * (k1+1) * tf_norm_max
+                       (Ding & Suel, SIGIR 2011)
+  doc_bytes    binary  LEB128 varints of doc_id deltas (first = absolute)
+  tf_bytes     binary  LEB128 varints of term frequencies
+  dl_bytes     binary  LEB128 varints of document lengths (stored per posting
+                       so query-time scoring needs no doc-table join — an
+                       impact-style space/shuffle tradeoff, SURVEY.md §7.4)
+
+Blocks are self-contained (the first doc_id of each block is stored absolute,
+not as a delta from the previous block) so salted sub-postings and segments
+can be concatenated in doc_id-range order without re-encoding (A7/A10).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+_MASK7 = np.uint64(0x7F)
+_SHIFT7 = np.uint64(7)
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    out = np.zeros((n, 10), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int64)
+    cur = v.copy()
+    for i in range(10):
+        byte = (cur & _MASK7).astype(np.uint8)
+        cur >>= _SHIFT7
+        more = cur > 0
+        out[:, i] = byte | (more.astype(np.uint8) << 7)
+        lengths = np.where((lengths == 0) & ~more, i + 1, lengths)
+        if not more.any():
+            break
+    mask = np.arange(10) < lengths[:, None]
+    return out[mask].tobytes()
+
+
+def decode_varints(buf: bytes, count: int) -> np.ndarray:
+    """Vectorized LEB128 decode → uint64 array of ``count`` values."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    if len(ends) != count:
+        raise ValueError(f"varint stream has {len(ends)} values, expected {count}")
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    group = np.repeat(np.arange(count), np.diff(np.concatenate(([-1], ends))))
+    pos = np.arange(len(b)) - starts[group]
+    vals7 = (b & np.uint8(0x7F)).astype(np.uint64) << (pos.astype(np.uint64) * _SHIFT7)
+    values = np.zeros(count, dtype=np.uint64)
+    np.add.at(values, group, vals7)
+    return values
+
+
+class Block(NamedTuple):
+    n: int
+    max_doc_id: int
+    tf_norm_max: float
+    doc_bytes: bytes
+    tf_bytes: bytes
+    dl_bytes: bytes
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    *,
+    block_size: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> list[Block]:
+    """Sorted (strictly increasing) doc_ids + parallel tf/dl → blocks."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return []
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    tf_f = tfs.astype(np.float64)
+    tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+    blocks: list[Block] = []
+    for start in range(0, n, block_size):
+        end = min(start + block_size, n)
+        d = deltas[start:end].copy()
+        d[0] = np.uint64(doc_ids[start])  # block-local absolute first doc_id
+        blocks.append(
+            Block(
+                n=end - start,
+                max_doc_id=int(doc_ids[end - 1]),
+                tf_norm_max=float(tf_norm[start:end].max()),
+                doc_bytes=encode_varints(d),
+                tf_bytes=encode_varints(tfs[start:end].astype(np.uint64)),
+                dl_bytes=encode_varints(dls[start:end].astype(np.uint64)),
+            )
+        )
+    return blocks
+
+
+def decode_blocks(blocks: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_blocks` → (doc_ids, tfs, dls) int64 arrays.
+
+    Accepts :class:`Block` tuples or any objects/dicts with the same fields
+    (e.g. Spark Row structs).
+    """
+    doc_parts: list[np.ndarray] = []
+    tf_parts: list[np.ndarray] = []
+    dl_parts: list[np.ndarray] = []
+    for blk in blocks:
+        if isinstance(blk, dict):
+            n, dob, tfb, dlb = blk["n"], blk["doc_bytes"], blk["tf_bytes"], blk["dl_bytes"]
+        else:
+            n, dob, tfb, dlb = blk.n, blk.doc_bytes, blk.tf_bytes, blk.dl_bytes
+        deltas = decode_varints(bytes(dob), n)
+        doc_parts.append(np.cumsum(deltas.astype(np.int64)))
+        tf_parts.append(decode_varints(bytes(tfb), n).astype(np.int64))
+        dl_parts.append(decode_varints(bytes(dlb), n).astype(np.int64))
+    if not doc_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(doc_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )

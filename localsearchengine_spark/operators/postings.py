@@ -1,0 +1,311 @@
+"""A4–A9, A12 — posting emission, salted shuffle build, block compression,
+segment write, per-partition metrics.
+
+BASELINE.json:6 mandates: "per-turn posting emission", "a shuffle-partitioned
+posting-list build with salted repartitioning for hot terms", "delta+varint
+block compression of sorted docID postings persisted as ... segments",
+"explicit skew diagnostics and per-partition build metrics".
+
+Dataflow (SURVEY.md §3.1):
+
+    docs(doc_id, text)
+      → mapInPandas term_freq_frame          [Arrow batch, no per-row Python]
+      → (term, salt, doc_id, tf, dl)         salt: hot terms get doc_id-range
+                                             buckets so sub-postings are
+                                             disjoint + ordered (A7)
+      → filter pmod(hash(term,salt),P) ∈ pending   [resume pruning, A11]
+      → repartition(P, term, salt) → sortWithinPartitions(term, salt, doc_id)
+      → mapInPandas: stream runs, encode blocks (codec, A8), task writes its
+        own parquet segment + manifest marker atomically  [per-partition
+        lineage: a killed job leaves completed partitions durable]
+
+The task-side write is the lineage mechanism: shuffle partition id is the
+deterministic function pmod(murmur3(term,salt), P), so a resumed build prunes
+already-completed partitions *before* the exchange with a cheap filter and
+reproduces the identical partition assignment.
+
+Hot-term salting: salt = floor(doc_id * S_t / N) with S_t = ceil(df_t /
+hot_df_threshold) — contiguous doc_id ranges, so the final posting list for a
+term is the concatenation of its salt rows in salt order (no k-way merge
+needed), and per-task group state is bounded by ~hot_df_threshold postings
+(SURVEY.md §7.4-2).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from localsearchengine_spark.config import BuildConfig
+from localsearchengine_spark.functions.analyze import term_freq_frame, tokenize_pandas
+from localsearchengine_spark.operators import codec
+from localsearchengine_spark.utils import atomic_write_json
+
+EMIT_SCHEMA = "term string, salt int, doc_id long, tf long, dl long"
+
+POSTINGS_BLOCK_FIELDS = [
+    ("n", "int32"),
+    ("max_doc_id", "int64"),
+    ("tf_norm_max", "float64"),
+    ("doc_bytes", "binary"),
+    ("tf_bytes", "binary"),
+    ("dl_bytes", "binary"),
+]
+
+
+def postings_arrow_schema():
+    import pyarrow as pa
+
+    block = pa.struct(
+        [
+            pa.field("n", pa.int32()),
+            pa.field("max_doc_id", pa.int64()),
+            pa.field("tf_norm_max", pa.float64()),
+            pa.field("doc_bytes", pa.binary()),
+            pa.field("tf_bytes", pa.binary()),
+            pa.field("dl_bytes", pa.binary()),
+        ]
+    )
+    return pa.schema(
+        [
+            pa.field("term", pa.string()),
+            pa.field("salt", pa.int32()),
+            pa.field("df", pa.int64()),
+            pa.field("cf", pa.int64()),
+            pa.field("max_tf_norm", pa.float64()),
+            pa.field("blocks", pa.list_(block)),
+        ]
+    )
+
+
+def hot_term_scan(docs: DataFrame, conf: BuildConfig) -> dict[str, int]:
+    """A7 pass 1 — term → number of salt buckets, for terms with df above the
+    threshold.  groupBy(term) with map-side partial aggregation; the hot set
+    is tiny by Zipf's law (the head of the distribution) and is broadcast."""
+    cfg = conf.bm25
+
+    @F.pandas_udf("array<string>")
+    def tok(s: pd.Series) -> pd.Series:
+        return tokenize_pandas(s, cfg).map(lambda xs: list(dict.fromkeys(xs)))
+
+    dfreq = (
+        docs.select(F.explode(tok(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > conf.hot_df_threshold)
+    )
+    out = {}
+    for r in dfreq.collect():
+        s_t = int(np.ceil(r["df"] / conf.hot_df_threshold))
+        out[r["term"]] = int(min(s_t, 4096))
+    return out
+
+
+def emit_postings(
+    docs: DataFrame, conf: BuildConfig, hot_salts: dict[str, int], n_total: int
+) -> DataFrame:
+    """A4 — fused tokenize + per-turn tf emission (one Arrow pass, no
+    (doc,term) shuffle: tf is computed within the row's own batch)."""
+    cfg = conf.bm25
+    sc = docs.sparkSession.sparkContext
+    hot_bc = sc.broadcast(hot_salts)
+    n_total = int(n_total)
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hot = hot_bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            tff = term_freq_frame(pdf["text"], cfg)
+            if tff.empty:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[tff["row"].to_numpy()]
+            terms = tff["term"].to_numpy()
+            salts = np.zeros(len(tff), dtype=np.int32)
+            if hot:
+                s_t = np.fromiter(
+                    (hot.get(t, 0) for t in terms), dtype=np.int64, count=len(terms)
+                )
+                m = s_t > 1
+                if m.any():
+                    salts[m] = (doc_ids[m] * s_t[m] // n_total).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "salt": salts,
+                    "doc_id": doc_ids,
+                    "tf": tff["tf"].to_numpy(dtype=np.int64),
+                    "dl": tff["dl"].to_numpy(dtype=np.int64),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(emit, schema=EMIT_SCHEMA)
+
+
+def build_posting_partitions(
+    emitted: DataFrame,
+    *,
+    conf: BuildConfig,
+    avgdl: float,
+    num_partitions: int,
+    postings_dir: str,
+    manifest_dir: str,
+    build_id: str,
+    pending: list[int] | None = None,
+) -> list[dict]:
+    """A6+A8+A9+A12 — the shuffle-partitioned build.  Returns the manifest
+    rows of the partitions processed in this job (tasks also persist them)."""
+    P = num_partitions
+    cfg = conf.bm25
+    block_size = conf.block_size
+    df = emitted
+    if pending is not None:
+        if not pending:
+            return []
+        df = df.filter(
+            F.pmod(F.hash(F.col("term"), F.col("salt")), F.lit(P)).isin(
+                [int(p) for p in pending]
+            )
+        )
+    df = (
+        df.repartition(P, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    k1, b = cfg.k1, cfg.b
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t0 = time.time()
+        schema = postings_arrow_schema()
+        pid = None
+        writer = None
+        tmp_path = None
+        rows_buf: list[dict] = []
+        n_postings = 0
+        n_rows = 0
+        top: list[tuple[int, str]] = []
+        cur_key: tuple[str, int] | None = None
+        cur_docs: list[np.ndarray] = []
+        cur_tfs: list[np.ndarray] = []
+        cur_dls: list[np.ndarray] = []
+
+        def flush_rows(force: bool = False):
+            nonlocal rows_buf, writer
+            if writer is None or (not rows_buf) or (len(rows_buf) < 512 and not force):
+                return
+            writer.write_table(pa.Table.from_pylist(rows_buf, schema=schema))
+            rows_buf = []
+
+        def end_run():
+            nonlocal cur_key, cur_docs, cur_tfs, cur_dls, n_rows, top
+            if cur_key is None:
+                return
+            d = np.concatenate(cur_docs)
+            t = np.concatenate(cur_tfs)
+            L = np.concatenate(cur_dls)
+            blocks = codec.encode_blocks(
+                d, t, L, block_size=block_size, k1=k1, b=b, avgdl=avgdl
+            )
+            rows_buf.append(
+                {
+                    "term": cur_key[0],
+                    "salt": int(cur_key[1]),
+                    "df": int(len(d)),
+                    "cf": int(t.sum()),
+                    "max_tf_norm": float(max(blk.tf_norm_max for blk in blocks)),
+                    "blocks": [blk._asdict() for blk in blocks],
+                }
+            )
+            n_rows += 1
+            top.append((len(d), cur_key[0]))
+            if len(top) > 64:
+                top.sort(reverse=True)
+                del top[8:]
+            cur_key, cur_docs, cur_tfs, cur_dls = None, [], [], []
+            flush_rows()
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+                os.makedirs(postings_dir, exist_ok=True)
+                tmp_path = os.path.join(
+                    postings_dir, f".part-{pid:05d}.parquet.tmp-{os.getpid()}"
+                )
+                writer = pq.ParquetWriter(tmp_path, schema)
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            docs_a = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tfs_a = pdf["tf"].to_numpy(dtype=np.int64)
+            dls_a = pdf["dl"].to_numpy(dtype=np.int64)
+            n_postings += len(pdf)
+            # boundaries of (term, salt) runs within this batch
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                key = (terms[s], int(salts[s]))
+                if cur_key is not None and key != cur_key:
+                    end_run()
+                if cur_key is None:
+                    cur_key = key
+                cur_docs.append(docs_a[s:e])
+                cur_tfs.append(tfs_a[s:e])
+                cur_dls.append(dls_a[s:e])
+        end_run()
+        if writer is not None:
+            flush_rows(force=True)
+            writer.close()
+            final = os.path.join(postings_dir, f"part-{pid:05d}.parquet")
+            os.replace(tmp_path, final)
+            nbytes = os.path.getsize(final)
+            top.sort(reverse=True)
+            manifest = {
+                "build_id": build_id,
+                "stage": "postings",
+                "pid": pid,
+                "postings": int(n_postings),
+                "terms": int(n_rows),
+                "bytes": int(nbytes),
+                "elapsed_s": round(time.time() - t0, 3),
+                "top_terms": [[t, int(n)] for n, t in top[:5]],
+            }
+            atomic_write_json(
+                os.path.join(manifest_dir, f"postings-{pid:05d}.json"), manifest
+            )
+            yield pd.DataFrame([{k: str(v) for k, v in manifest.items()}])
+
+    out = df.mapInPandas(
+        build,
+        schema="build_id string, stage string, pid string, postings string, "
+        "terms string, bytes string, elapsed_s string, top_terms string",
+    )
+    return [r.asDict() for r in out.collect()]
+
+
+def skew_report(manifest_rows: list[dict]) -> dict:
+    """A12 — skew diagnostics: max/median partition load from the manifest."""
+    if not manifest_rows:
+        return {"partitions": 0}
+    loads = sorted(int(r["postings"]) for r in manifest_rows)
+    med = loads[len(loads) // 2] or 1
+    return {
+        "partitions": len(loads),
+        "postings_total": int(sum(loads)),
+        "postings_max": int(loads[-1]),
+        "postings_median": int(med),
+        "skew_ratio_max_over_median": round(loads[-1] / med, 3),
+    }

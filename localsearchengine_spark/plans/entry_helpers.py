@@ -1,0 +1,52 @@
+"""Helpers for the driver contract (__spark_entry__.py).
+
+The driver's tables (TESTDATA.md) have a ``documents`` corpus; the engine's
+native input shape is the transcripts table (BASELINE.json:15).  The adapter
+below maps documents → single-turn transcripts so the flagship query runs the
+*real* engine (build → compressed postings → BM25 top-k) end-to-end on
+driver-provided data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localsearchengine_spark.build import build_index
+from localsearchengine_spark.config import BuildConfig
+
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_documents_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) an index over the sf_dir documents corpus.
+
+    With documents mapped to conv_id "doc%012d" and turn_idx 0, the engine's
+    dense deterministic doc_id equals the source ``doc_id`` — asserted here.
+    """
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    src = tempfile.mkdtemp(prefix="lse_corpus_")
+    documents_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
+    idx_dir = tempfile.mkdtemp(prefix="lse_index_")
+    conf = BuildConfig(num_partitions=8, hot_df_threshold=2000, block_size=128)
+    build_index(spark, src, idx_dir, conf)
+    _INDEX_CACHE[key] = idx_dir
+    return idx_dir

@@ -1,0 +1,672 @@
+"""SURVEY.md §2 Part B — the relational operator surface, as (Spark
+DataFrame query, DuckDB oracle SQL) pairs checked by the driver harness
+(__spark_entry__.py).
+
+Conventions that make the order-insensitive value-hash comparison exact:
+  * every computed/aggregate column is aliased identically on both sides
+  * double outputs are round()ed (2 for money sums, 4 for averages/z-scores,
+    6 for scores/ratios) — float64 summation-order effects are ~1e-9
+    relative, far inside the rounding margin
+  * integer aggregates are cast to 64-bit on both sides (DuckDB sum(BIGINT)
+    is HUGEINT; Spark size() is int32)
+  * timestamps are emitted as formatted strings (Spark session TZ is pinned
+    UTC; DuckDB timestamps are naive UTC)
+  * every LIMIT carries a full deterministic ORDER BY tie-break
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from localsearchengine_spark.config import BM25Config
+from localsearchengine_spark.functions.bm25 import score_column
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# B1 — parquet scan + projection + filter pushdown
+# ---------------------------------------------------------------------------
+@q(
+    "b01_scan_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05""",
+)
+def b01(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B2 — broadcast equi inner join + aggregate
+# ---------------------------------------------------------------------------
+@q(
+    "b02_join_broadcast_agg",
+    """SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def b02(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3 — large×large equi join (sort-merge under AQE) + aggregate
+# ---------------------------------------------------------------------------
+@q(
+    "b03_join_large_agg",
+    """SELECT o_orderpriority,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def b03(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("o_orderpriority", "revenue", "n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 — left semi join (EXISTS)
+# ---------------------------------------------------------------------------
+@q(
+    "b04_join_semi",
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+       FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       GROUP BY c_nationkey""",
+)
+def b04(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4b — left anti join (NOT EXISTS) — A11 resume uses this shape
+# ---------------------------------------------------------------------------
+@q(
+    "b05_join_anti",
+    """SELECT c_custkey, c_name
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def b05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# B5 — hash aggregate battery (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@q(
+    "b06_agg_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(min(l_extendedprice), 2) AS min_price,
+              round(max(l_extendedprice), 2) AS max_price,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def b06(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 — exact count distinct (approx variant is rows-only: approx01)
+# ---------------------------------------------------------------------------
+@q(
+    "b07_count_distinct",
+    """SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY event_type""",
+)
+def b07(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — rollup (grouping sets)
+# ---------------------------------------------------------------------------
+@q(
+    "b08_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def b08(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8 — ranking window (top-N per group); A2/A20 building block
+# ---------------------------------------------------------------------------
+@q(
+    "b09_window_rank_topn",
+    """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+         FROM orders)
+       WHERE rn <= 3""",
+)
+def b09(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9 — analytic window: lag + running frame; A2 cumulative-offset shape
+# ---------------------------------------------------------------------------
+@q(
+    "b10_window_running_lag",
+    """SELECT event_id, user_id,
+              round(coalesce(lag(value) OVER w, 0.0), 4) AS prev_value,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def b10(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4).alias("prev_value"),
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+            ).alias("running_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10 — global sort + limit → TakeOrderedAndProject (A19 distributed shape)
+# ---------------------------------------------------------------------------
+@q(
+    "b11_orderby_topk",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+       FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+)
+def b11(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 — set ops (A10 merge / A11 diff building blocks)
+# ---------------------------------------------------------------------------
+@q(
+    "b12_set_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def b12(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@q(
+    "b13_set_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def b13(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)  # EXCEPT (set semantics), not exceptAll
+
+
+# ---------------------------------------------------------------------------
+# B12 — string functions (A3's SQL-expressible subset)
+# ---------------------------------------------------------------------------
+@q(
+    "b14_string_funcs",
+    """SELECT doc_id,
+              upper(lang) AS lang_u,
+              CAST(length(text) AS BIGINT) AS n_len,
+              regexp_extract(text, '([a-z]+)', 1) AS first_word,
+              concat(lang, '_', source) AS lang_source,
+              substring(text, 1, 8) AS prefix8
+       FROM documents""",
+)
+def b14(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.length("text").cast("long").alias("n_len"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.concat(F.col("lang"), F.lit("_"), F.col("source")).alias("lang_source"),
+        F.substring("text", 1, 8).alias("prefix8"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B13 — explode (A4's posting-emission shape as pure SQL)
+# ---------------------------------------------------------------------------
+@q(
+    "b15_explode_tokens",
+    """SELECT term, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       GROUP BY term ORDER BY n DESC, term LIMIT 25""",
+)
+def b15(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 — date/time functions
+# ---------------------------------------------------------------------------
+@q(
+    "b16_datetime_agg",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS day_value,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1""",
+)
+def b16(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("day_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B16 — JSON extraction
+# ---------------------------------------------------------------------------
+@q(
+    "b17_json_extract",
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_max
+       FROM events GROUP BY 1""",
+)
+def b17(spark, sf_dir):
+    kv = F.get_json_object("props", "$.k").cast("int")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy((kv % 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(kv).cast("long").alias("k_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17 — grouped-map Pandas UDF (applyInPandas) with a SQL window oracle
+# ---------------------------------------------------------------------------
+@q(
+    "b18_grouped_map_zscore",
+    """SELECT doc_id, source,
+              round((n_chars - avg(n_chars) OVER (PARTITION BY source))
+                    / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS z
+       FROM documents""",
+)
+def b18(spark, sf_dir):
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["n_chars"].mean()
+        s = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "z": ((pdf["n_chars"] - m) / s).round(4),
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(zscore, schema="doc_id long, source string, z double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B18 — scalar Arrow (pandas) UDF: the A3 tokenizer's token count
+# ---------------------------------------------------------------------------
+@q(
+    "b19_pandas_udf_token_count",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS BIGINT) AS n_tokens
+       FROM documents""",
+)
+def b19(spark, sf_dir):
+    from localsearchengine_spark.functions.analyze import doc_lengths
+
+    @F.pandas_udf("long")
+    def tok_count(s: pd.Series) -> pd.Series:
+        return pd.Series(doc_lengths(s, BM25Config()))
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tok_count("text").alias("n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 — BM25 as a pure DataFrame expression (A18), oracle in pure SQL.
+# Disjunctive (OR) scoring for the fixed query {"spark","join"}; top-20.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["join", "spark"]  # sorted
+
+
+def _bm25_sql(terms: list[str], k: int, mode: str) -> str:
+    cfg = BM25Config()
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    idf = cfg.idf_sql("df.df", "stats.n")
+    and_filter = f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum({idf} * ({cfg.k1} + 1.0) * tf.tf
+             / (tf.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dl.dl / stats.avgdl))) AS s,
+         CAST(count(*) AS BIGINT) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scores {and_filter}
+ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+@q("b20_bm25_sql_dataframe", _bm25_sql(_BM25_TERMS, 20, "or"))
+def b20(spark, sf_dir):
+    """Exhaustive BM25 scoring purely in Catalyst Column expressions —
+    whole-stage-codegen'd joins + log/arithmetic, zero Python in the plan."""
+    cfg = BM25Config()
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[0-9a-z_]+', 0)")
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            score_column(F.col("tf"), F.col("dl"), F.col("df"), F.col("n"), F.col("avgdl"), cfg),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        scored.orderBy(F.desc("s"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# FTS1 — the REAL engine end-to-end vs an independent SQL BM25 oracle:
+# build (stable docIDs → salted shuffle → delta+varint blocks) happens on
+# first call; query runs conjunctive block-max WAND over the compressed index.
+# ---------------------------------------------------------------------------
+_FTS_TERMS = ["merge", "small"]  # sorted
+
+
+@q("fts01_engine_bm25_topk", _bm25_sql(_FTS_TERMS, 10, "and"))
+def fts01(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    idx_dir = ensure_documents_index(spark, sf_dir)
+    index = Index(spark, idx_dir)
+    hits = index.search(_FTS_TERMS, k=10, mode="and")
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DD1 — exact dedup stats (hash-groupBy dedup, documents)
+# ---------------------------------------------------------------------------
+@q(
+    "dd01_exact_dedup_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+              CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+       FROM documents""",
+)
+def dd01(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DD2 — content fingerprint (normalized md5; document identity at scale)
+# ---------------------------------------------------------------------------
+@q(
+    "dd02_fingerprint",
+    """SELECT doc_id, md5(lower(text)) AS fp FROM documents""",
+)
+def dd02(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TX1 — text-quality metrics (training-data pipeline surface)
+# ---------------------------------------------------------------------------
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+@q(
+    "tx01_quality_metrics",
+    f"""SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(CAST(length(text) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_token_len
+        FROM documents""",
+)
+def tx01(spark, sf_dir):
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SIM1 — brute-force cosine top-k over embeddings (ANN baseline)
+# ---------------------------------------------------------------------------
+@q(
+    "sim01_cosine_topk",
+    """WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv.q), 6) AS cos
+       FROM embeddings, qv
+       WHERE vec_id <> 0
+       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv.q) DESC, vec_id
+       LIMIT 10""",
+)
+def sim01(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    qn = float(sum(x * x for x in qvec)) ** 0.5
+    cos = dot / (nrm * F.lit(qn))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_cos", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# APPROX1 — approx_count_distinct (no exact oracle → rows-only check)
+# ---------------------------------------------------------------------------
+def approx01(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+SPARK_QUERIES["approx01_count_distinct"] = approx01
