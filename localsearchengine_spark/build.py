@@ -71,7 +71,8 @@ def _completed_pids(index_dir: str) -> set[int]:
 
 
 def _write_docstore(
-    spark: SparkSession, source: str, index_dir: str, conf: BuildConfig
+    spark: SparkSession, source: str, index_dir: str, conf: BuildConfig,
+    doc_id_base: int = 0,
 ) -> tuple[int, float, int]:
     """Docs stage: stable docIDs (A2) + per-doc token length; one tokenize
     pass; column-pruned write.  Returns (N, avgdl, total_tokens)."""
@@ -82,7 +83,7 @@ def _write_docstore(
         return pd.Series(doc_lengths(s, cfg))
 
     t = scan_transcripts(spark, source)
-    with_ids = assign_doc_ids(t, conf.num_partitions)
+    with_ids = assign_doc_ids(t, conf.num_partitions, doc_id_base)
     docs = with_ids.select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text",
         dl_udf(F.col("text")).alias("dl"),
@@ -103,9 +104,12 @@ def build_index(
     index_dir: str,
     conf: BuildConfig | None = None,
     build_id: str | None = None,
+    doc_id_base: int = 0,
 ) -> BuildReport:
     """Full build; safe to call on a partially-built index (acts as resume
-    when meta.json exists and the input snapshot is unchanged)."""
+    when meta.json exists and the input snapshot is unchanged).
+
+    ``doc_id_base`` offsets this index's doc_id space (incremental appends)."""
     conf = conf or BuildConfig()
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
     snapshot = input_snapshot_id(source)
@@ -129,8 +133,10 @@ def build_index(
             "snapshot": snapshot,
             "status": "building",
             "source": source,
+            "doc_id_base": int(doc_id_base),
         }
         atomic_write_json(meta_p, meta)
+    doc_id_base = int(meta.get("doc_id_base", 0))
 
     report = BuildReport(build_id=build_id)
     P = conf.num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -141,7 +147,7 @@ def build_index(
     # ---- stage: docs + corpus stats (A2, A5) -------------------------------
     t0 = time.time()
     if not os.path.exists(_docs_complete_marker(index_dir)):
-        n, avgdl, tok = _write_docstore(spark, source, index_dir, conf)
+        n, avgdl, tok = _write_docstore(spark, source, index_dir, conf, doc_id_base)
         meta.update(
             {"n_docs": n, "avgdl": avgdl, "total_tokens": tok, "num_partitions": P}
         )
@@ -171,7 +177,9 @@ def build_index(
     pending = sorted(set(range(P)) - done)
     report.partitions_skipped = len(done)
     if pending:
-        emitted = P_mod.emit_postings(docs, conf, hot_salts, report.n_docs)
+        emitted = P_mod.emit_postings(
+            docs, conf, hot_salts, report.n_docs, doc_id_base=doc_id_base
+        )
         P_mod.build_posting_partitions(
             emitted,
             conf=conf,

@@ -1,0 +1,132 @@
+"""A20 — distributed evaluation of a whole query set.
+
+BASELINE.json:2's metric is a *match rate over a query set*; at 10^12-turn
+scale the postings for a large query batch don't fit one driver, so this path
+keeps everything in DataFrames:
+
+    postings (term-filtered parquet scan, pushdown)
+      → mapInPandas decode (Arrow-batched varint+delta → long form)
+      → broadcast-join the exploded query set + per-term idf
+      → JVM Column-expression BM25 contribution  (whole-stage codegen)
+      → groupBy(query_id, doc_id) partial-agg sum  [the only big shuffle]
+      → AND filter (nt == n_terms) → per-query top-k window
+
+The per-term idf/df comes from the dictionary (driver-side lookup — the
+query set's term list is small by definition), so no second big join.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from localsearchengine_spark.operators import codec
+from localsearchengine_spark.operators.search import Index
+
+DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
+
+
+def decode_postings_df(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
+    """Term-filtered postings scan → decoded long form, distributed."""
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("term").isin(sorted(set(terms))))
+        .select("term", "blocks")
+    )
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            outs = []
+            for term, blocks in zip(pdf["term"], pdf["blocks"]):
+                d, t, L = codec.decode_blocks(list(blocks))
+                outs.append(
+                    pd.DataFrame(
+                        {"term": np.repeat(term, len(d)), "doc_id": d, "tf": t, "dl": L}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return rows.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def run_queries(
+    spark: SparkSession,
+    index: Index,
+    queries: list[dict],
+    mode: str = "and",
+) -> DataFrame:
+    """queries: [{"query_id": int, "terms": [str], "k": int}] →
+    DataFrame(query_id long, rank long, doc_id long, score double)."""
+    cfg = index.cfg
+    all_terms = sorted({t for q in queries for t in q["terms"]})
+    dic = index.lookup(all_terms)
+
+    qrows = []
+    for qd in queries:
+        terms = sorted(set(qd["terms"]))
+        n_present = sum(1 for t in terms if t in dic)
+        for t in terms:
+            if t in dic:
+                qrows.append(
+                    (
+                        int(qd["query_id"]),
+                        t,
+                        float(cfg.idf(dic[t]["df"], index.n_docs)),
+                        int(len(terms)),
+                        int(n_present),
+                        int(qd.get("k", 10)),
+                    )
+                )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, term string, idf double, n_terms long, n_present long, k long"
+    )
+
+    decoded = decode_postings_df(spark, index.index_dir, all_terms)
+    k1, b = cfg.k1, cfg.b
+    contrib = (
+        F.col("idf")
+        * F.lit(k1 + 1.0)
+        * F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0) - b + F.lit(b) * F.col("dl").cast("double") / F.lit(index.avgdl))
+        )
+    )
+    scored = (
+        decoded.join(F.broadcast(qdf), "term")
+        .select("query_id", "doc_id", "n_terms", "n_present", "k", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).alias("nt"),
+            F.first("n_terms").alias("n_terms"),
+            F.first("n_present").alias("n_present"),
+            F.first("k").alias("k"),
+        )
+    )
+    if mode == "and":
+        # conjunctive: doc must contain every query term, and every query
+        # term must exist in the corpus (matches the driver-local AND path)
+        scored = scored.filter(
+            (F.col("nt") == F.col("n_terms")) & (F.col("n_present") == F.col("n_terms"))
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )

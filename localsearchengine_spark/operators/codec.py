@@ -77,6 +77,12 @@ class Block(NamedTuple):
     n: int
     max_doc_id: int
     tf_norm_max: float
+    # max_tf/min_dl make a valid (looser) score bound recomputable under a
+    # *changed* avgdl without decoding — tf_norm is monotone ↑ in tf and
+    # ↓ in dl, so bound(max_tf, min_dl, avgdl') ≥ every doc's tf_norm.
+    # Segment merge (A10) uses this to stay declarative (no re-encode).
+    max_tf: int
+    min_dl: int
     doc_bytes: bytes
     tf_bytes: bytes
     dl_bytes: bytes
@@ -114,6 +120,8 @@ def encode_blocks(
                 n=end - start,
                 max_doc_id=int(doc_ids[end - 1]),
                 tf_norm_max=float(tf_norm[start:end].max()),
+                max_tf=int(tfs[start:end].max()),
+                min_dl=int(dls[start:end].min()),
                 doc_bytes=encode_varints(d),
                 tf_bytes=encode_varints(tfs[start:end].astype(np.uint64)),
                 dl_bytes=encode_varints(dls[start:end].astype(np.uint64)),

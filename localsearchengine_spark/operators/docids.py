@@ -99,8 +99,14 @@ def conversation_offsets(transcripts: DataFrame, num_partitions: int = 0) -> Dat
     return out
 
 
-def assign_doc_ids(transcripts: DataFrame, num_partitions: int = 0) -> DataFrame:
+def assign_doc_ids(
+    transcripts: DataFrame, num_partitions: int = 0, doc_id_base: int = 0
+) -> DataFrame:
     """transcripts → transcripts + ``doc_id`` (dense, deterministic).
+
+    ``doc_id_base`` offsets the whole id space — incremental batches appended
+    to an existing index (streaming/incremental.py, merge.py) pass the
+    current corpus size so doc_id spaces stay disjoint and range-ordered.
 
     The offsets⋈transcripts join is an equi-join on conv_id; AQE broadcasts
     it when the conversations side is small, and at 10^12-turn scale it is a
@@ -110,5 +116,6 @@ def assign_doc_ids(transcripts: DataFrame, num_partitions: int = 0) -> DataFrame
         "conv_id", "conv_offset"
     )
     return transcripts.join(offs, "conv_id").withColumn(
-        "doc_id", F.col("conv_offset") + F.col("turn_idx").cast("long")
+        "doc_id",
+        F.lit(int(doc_id_base)) + F.col("conv_offset") + F.col("turn_idx").cast("long"),
     ).drop("conv_offset")

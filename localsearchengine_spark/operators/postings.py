@@ -49,16 +49,6 @@ from localsearchengine_spark.utils import atomic_write_json
 
 EMIT_SCHEMA = "term string, salt int, doc_id long, tf long, dl long"
 
-POSTINGS_BLOCK_FIELDS = [
-    ("n", "int32"),
-    ("max_doc_id", "int64"),
-    ("tf_norm_max", "float64"),
-    ("doc_bytes", "binary"),
-    ("tf_bytes", "binary"),
-    ("dl_bytes", "binary"),
-]
-
-
 def postings_arrow_schema():
     import pyarrow as pa
 
@@ -67,6 +57,8 @@ def postings_arrow_schema():
             pa.field("n", pa.int32()),
             pa.field("max_doc_id", pa.int64()),
             pa.field("tf_norm_max", pa.float64()),
+            pa.field("max_tf", pa.int64()),
+            pa.field("min_dl", pa.int64()),
             pa.field("doc_bytes", pa.binary()),
             pa.field("tf_bytes", pa.binary()),
             pa.field("dl_bytes", pa.binary()),
@@ -108,7 +100,11 @@ def hot_term_scan(docs: DataFrame, conf: BuildConfig) -> dict[str, int]:
 
 
 def emit_postings(
-    docs: DataFrame, conf: BuildConfig, hot_salts: dict[str, int], n_total: int
+    docs: DataFrame,
+    conf: BuildConfig,
+    hot_salts: dict[str, int],
+    n_total: int,
+    doc_id_base: int = 0,
 ) -> DataFrame:
     """A4 — fused tokenize + per-turn tf emission (one Arrow pass, no
     (doc,term) shuffle: tf is computed within the row's own batch)."""
@@ -116,6 +112,7 @@ def emit_postings(
     sc = docs.sparkSession.sparkContext
     hot_bc = sc.broadcast(hot_salts)
     n_total = int(n_total)
+    base = int(doc_id_base)
 
     def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hot = hot_bc.value
@@ -134,7 +131,7 @@ def emit_postings(
                 )
                 m = s_t > 1
                 if m.any():
-                    salts[m] = (doc_ids[m] * s_t[m] // n_total).astype(np.int32)
+                    salts[m] = ((doc_ids[m] - base) * s_t[m] // n_total).astype(np.int32)
             yield pd.DataFrame(
                 {
                     "term": terms,

@@ -1,0 +1,54 @@
+"""A20 — distributed batch query evaluation vs the independent oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from localsearchengine_spark.operators.batch_query import run_queries
+from localsearchengine_spark.operators.search import Index
+from localsearchengine_spark.sources.fixtures import golden_queries
+from tests.oracle import oracle_search
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_distributed_matches_oracle(spark, built_index, mode):
+    idx_dir, _, pdf = built_index
+    index = Index(spark, idx_dir)
+    docs = list(enumerate(pdf["text"].tolist()))
+    queries = golden_queries()[::5]  # every 5th → 10 queries, keeps runtime sane
+    out = run_queries(spark, index, queries, mode=mode).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+        )
+    for q in queries:
+        exp = oracle_search(docs, q["terms"], k=q["k"], mode=mode)
+        got = sorted(by_q.get(q["query_id"], []))
+        assert [g[1] for g in got] == [d for d, _ in exp], (
+            f"query {q['query_id']} terms={q['terms']} mode={mode}"
+        )
+        np.testing.assert_allclose(
+            [g[2] for g in got], [s for _, s in exp], atol=1e-9, rtol=0
+        )
+
+
+def test_distributed_matches_driver_local(spark, built_index):
+    """The three query paths agree with each other too."""
+    idx_dir, _, _ = built_index
+    index = Index(spark, idx_dir)
+    queries = [q for q in golden_queries() if len(q["terms"]) >= 2][:5]
+    out = run_queries(spark, index, queries, mode="and").collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+        )
+    for q in queries:
+        local = index.search(q["terms"], k=q["k"], mode="and")
+        got = [(d, s) for _, d, s in sorted(by_q.get(q["query_id"], []))]
+        assert [d for d, _ in got] == [d for d, _ in local]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in local], atol=1e-9, rtol=0
+        )
