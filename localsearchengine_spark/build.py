@@ -4,7 +4,7 @@ Index layout on disk (Parquet locally; Iceberg tables in prod — io.py):
 
     index_dir/
       meta.json        build_id, BuildConfig, snapshot, N, avgdl, P, status
-      docs/            doc_id, conv_id, turn_idx, role, tool, ts, text, dl
+      docs/            doc_id, conv_id, turn_idx, role, tool, ts, text
       postings/        part-{pid}.parquet — term, salt, df, cf, max_tf_norm,
                        blocks array<struct<n,max_doc_id,tf_norm_max,
                        doc_bytes,tf_bytes,dl_bytes>>   (task-written, A9)
@@ -19,18 +19,15 @@ against the *same pinned input snapshot* and is a no-op on a finished build.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 import uuid
 from dataclasses import dataclass, field
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from localsearchengine_spark.config import BuildConfig
-from localsearchengine_spark.functions.analyze import doc_lengths
 from localsearchengine_spark.operators import postings as P_mod
 from localsearchengine_spark.operators.docids import assign_doc_ids
 from localsearchengine_spark.sources.io import input_snapshot_id, scan_transcripts
@@ -70,32 +67,62 @@ def _completed_pids(index_dir: str) -> set[int]:
     return out
 
 
+def _dir_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(dp, f))
+    return total
+
+
+def _tune_split_conf(spark: SparkSession, docs_dir: str) -> dict[str, str]:
+    """Size parquet splits so the tokenize passes use every core.
+
+    On a real cluster reading a 100 TB table the natural 128 MB splits give
+    thousands of tasks and this is a no-op (the computed target caps at the
+    default).  Locally the whole corpus can be a single small file — one
+    split ⇒ the Arrow-UDF stages run at parallelism 1 regardless of cores.
+    Returns the saved conf values so the caller can restore them.
+    """
+    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    saved = {k: spark.conf.get(k) for k in keys}
+    par = spark.sparkContext.defaultParallelism
+    total = _dir_bytes(docs_dir)
+    target = min(128 * 1024 * 1024, max(1024 * 1024, total // (par * 2)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(max(65536, target // 8)))
+    return saved
+
+
+def _restore_conf(spark: SparkSession, saved: dict[str, str]) -> None:
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+
 def _write_docstore(
     spark: SparkSession, source: str, index_dir: str, conf: BuildConfig,
-    doc_id_base: int = 0,
-) -> tuple[int, float, int]:
-    """Docs stage: stable docIDs (A2) + per-doc token length; one tokenize
-    pass; column-pruned write.  Returns (N, avgdl, total_tokens)."""
-    cfg = conf.bm25
+    doc_id_base: int = 0, num_partitions: int = 0,
+) -> None:
+    """Docs stage: stable docIDs (A2) + column-pruned write — pure JVM, no
+    Python pass (corpus stats come from the fused stats_hot_scan).
 
-    @F.pandas_udf("long")
-    def dl_udf(s: pd.Series) -> pd.Series:
-        return pd.Series(doc_lengths(s, cfg))
-
+    A small corpus (fewer natural input splits than cores) is explicitly
+    repartitioned so docs/ lands as many files — a single parquet file is
+    one row group, i.e. ONE split, and every downstream Arrow pass would run
+    at parallelism 1.  At production scale the input already has thousands
+    of splits and this branch never triggers (no extra text shuffle)."""
     t = scan_transcripts(spark, source)
     with_ids = assign_doc_ids(t, conf.num_partitions, doc_id_base)
     docs = with_ids.select(
-        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text",
-        dl_udf(F.col("text")).alias("dl"),
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"
     )
-    docs_dir = os.path.join(index_dir, "docs")
-    docs.write.mode("overwrite").parquet(docs_dir)
-    back = spark.read.parquet(docs_dir)
-    row = back.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tok")
-    ).collect()[0]
-    n, tok = int(row["n"]), int(row["tok"] or 0)
-    return n, (tok / n if n else 0.0), tok
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if _dir_bytes(source) < P * 8 * 1024 * 1024:
+        docs = docs.repartition(P)
+    docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
 
 
 def build_index(
@@ -144,63 +171,71 @@ def build_index(
         P = int(meta["num_partitions"])  # resume must reuse the pinned P
     report.num_partitions = P
 
-    # ---- stage: docs + corpus stats (A2, A5) -------------------------------
+    # ---- stage: docs (A2) — pure JVM write ---------------------------------
     t0 = time.time()
     if not os.path.exists(_docs_complete_marker(index_dir)):
-        n, avgdl, tok = _write_docstore(spark, source, index_dir, conf, doc_id_base)
-        meta.update(
-            {"n_docs": n, "avgdl": avgdl, "total_tokens": tok, "num_partitions": P}
-        )
+        _write_docstore(spark, source, index_dir, conf, doc_id_base, num_partitions=P)
+        meta["num_partitions"] = P
         atomic_write_json(meta_p, meta)
-        atomic_write_json(
-            _docs_complete_marker(index_dir), {"build_id": build_id, "n_docs": n}
-        )
-    report.n_docs = int(meta["n_docs"])
-    report.avgdl = float(meta["avgdl"])
-    report.total_tokens = int(meta["total_tokens"])
+        atomic_write_json(_docs_complete_marker(index_dir), {"build_id": build_id})
     report.elapsed_s["docs"] = round(time.time() - t0, 3)
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    saved_split_conf = _tune_split_conf(spark, os.path.join(index_dir, "docs"))
+    try:
+        docs = spark.read.parquet(os.path.join(index_dir, "docs"))
 
-    # ---- stage: hot-term scan (A7 pass 1) ----------------------------------
-    t0 = time.time()
-    if "hot_salts" not in meta:
-        meta["hot_salts"] = P_mod.hot_term_scan(docs, conf)
-        atomic_write_json(meta_p, meta)
-    hot_salts = {k: int(v) for k, v in meta["hot_salts"].items()}
-    report.hot_terms = len(hot_salts)
-    report.elapsed_s["hot_scan"] = round(time.time() - t0, 3)
-
-    # ---- stage: salted shuffle build of compressed postings (A4,A6-A9) ----
-    t0 = time.time()
-    done = _completed_pids(index_dir)
-    pending = sorted(set(range(P)) - done)
-    report.partitions_skipped = len(done)
-    if pending:
-        emitted = P_mod.emit_postings(
-            docs, conf, hot_salts, report.n_docs, doc_id_base=doc_id_base
-        )
-        P_mod.build_posting_partitions(
-            emitted,
-            conf=conf,
-            avgdl=report.avgdl,
-            num_partitions=P,
-            postings_dir=os.path.join(index_dir, "postings"),
-            manifest_dir=os.path.join(index_dir, "manifest"),
-            build_id=build_id,
-            pending=pending if done else None,
-        )
-        # the job succeeded ⇒ partitions with no data are complete-empty
-        still = sorted(set(range(P)) - _completed_pids(index_dir))
-        for pid in still:
-            atomic_write_json(
-                os.path.join(index_dir, "manifest", f"postings-{pid:05d}.json"),
-                {"build_id": build_id, "stage": "postings", "pid": pid,
-                 "postings": 0, "terms": 0, "bytes": 0, "elapsed_s": 0.0,
-                 "top_terms": []},
+        # ---- stage: fused corpus stats + hot-term scan (A5 + A7 pass 1) -------
+        t0 = time.time()
+        if "hot_salts" not in meta or "n_docs" not in meta:
+            n, tok, hot = P_mod.stats_hot_scan(docs, conf)
+            meta.update(
+                {
+                    "n_docs": n,
+                    "avgdl": (tok / n if n else 0.0),
+                    "total_tokens": tok,
+                    "hot_salts": hot,
+                }
             )
-    report.partitions_built = len(pending)
-    report.elapsed_s["postings"] = round(time.time() - t0, 3)
+            atomic_write_json(meta_p, meta)
+        hot_salts = {k: int(v) for k, v in meta["hot_salts"].items()}
+        report.n_docs = int(meta["n_docs"])
+        report.avgdl = float(meta["avgdl"])
+        report.total_tokens = int(meta["total_tokens"])
+        report.hot_terms = len(hot_salts)
+        report.elapsed_s["stats_hot_scan"] = round(time.time() - t0, 3)
+
+        # ---- stage: salted shuffle build of compressed postings (A4,A6-A9) ----
+        t0 = time.time()
+        done = _completed_pids(index_dir)
+        pending = sorted(set(range(P)) - done)
+        report.partitions_skipped = len(done)
+        if pending:
+            emitted = P_mod.emit_postings(
+                docs, conf, hot_salts, report.n_docs, doc_id_base=doc_id_base
+            )
+            P_mod.build_posting_partitions(
+                emitted,
+                conf=conf,
+                avgdl=report.avgdl,
+                num_partitions=P,
+                postings_dir=os.path.join(index_dir, "postings"),
+                manifest_dir=os.path.join(index_dir, "manifest"),
+                build_id=build_id,
+                pending=pending if done else None,
+            )
+            # the job succeeded ⇒ partitions with no data are complete-empty
+            still = sorted(set(range(P)) - _completed_pids(index_dir))
+            for pid in still:
+                atomic_write_json(
+                    os.path.join(index_dir, "manifest", f"postings-{pid:05d}.json"),
+                    {"build_id": build_id, "stage": "postings", "pid": pid,
+                     "postings": 0, "terms": 0, "bytes": 0, "elapsed_s": 0.0,
+                     "top_terms": []},
+                )
+        report.partitions_built = len(pending)
+        report.elapsed_s["postings"] = round(time.time() - t0, 3)
+    finally:
+        _restore_conf(spark, saved_split_conf)
 
     # ---- stage: dictionary (A14 support) + finalize ------------------------
     t0 = time.time()

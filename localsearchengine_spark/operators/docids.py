@@ -47,15 +47,6 @@ def conversation_offsets(transcripts: DataFrame, num_partitions: int = 0) -> Dat
         F.count(F.lit(1)).alias("_cnt"),
         F.count_distinct("turn_idx").alias("_dcnt"),
     )
-    bad = convs.filter(
-        (F.col("_cnt") != F.col("n_turns")) | (F.col("_dcnt") != F.col("n_turns"))
-    ).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"turn_idx not contiguous/unique for conv_id={bad[0]['conv_id']}; "
-            "dense docID scheme requires 0..n-1 per conversation"
-        )
-    convs = convs.select("conv_id", "n_turns")
 
     csorted = (
         convs.repartitionByRange(P, "conv_id")
@@ -63,10 +54,22 @@ def conversation_offsets(transcripts: DataFrame, num_partitions: int = 0) -> Dat
         .withColumn("pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    part_sums = {
-        r["pid"]: r["s"]
-        for r in csorted.groupBy("pid").agg(F.sum("n_turns").alias("s")).collect()
-    }
+    # ONE action yields both the per-partition prefix sums and the turn_idx
+    # contiguity/uniqueness validation (dense docIDs require 0..n-1 per conv)
+    bad_cond = (F.col("_cnt") != F.col("n_turns")) | (
+        F.col("_dcnt") != F.col("n_turns")
+    )
+    stats = csorted.groupBy("pid").agg(
+        F.sum("n_turns").alias("s"),
+        F.min(F.when(bad_cond, F.col("conv_id"))).alias("bad_conv"),
+    ).collect()
+    bad = sorted(r["bad_conv"] for r in stats if r["bad_conv"] is not None)
+    if bad:
+        raise ValueError(
+            f"turn_idx not contiguous/unique for conv_id={bad[0]}; "
+            "dense docID scheme requires 0..n-1 per conversation"
+        )
+    part_sums = {r["pid"]: r["s"] for r in stats}
     offsets = {}
     acc = 0
     for pid in sorted(part_sums):

@@ -76,27 +76,86 @@ def postings_arrow_schema():
     )
 
 
-def hot_term_scan(docs: DataFrame, conf: BuildConfig) -> dict[str, int]:
-    """A7 pass 1 — term → number of salt buckets, for terms with df above the
-    threshold.  groupBy(term) with map-side partial aggregation; the hot set
-    is tiny by Zipf's law (the head of the distribution) and is broadcast."""
+# empty string can never be a real term (token_pattern requires ≥1 char),
+# so it is a safe in-band carrier for the per-batch corpus-stats partials.
+_STATS_SENTINEL = ""
+
+
+def stats_hot_scan(docs: DataFrame, conf: BuildConfig) -> tuple[int, int, dict[str, int]]:
+    """A5 + A7 pass 1 + A12, fused: ONE tokenize pass over the corpus.
+
+    Each Arrow batch emits partial aggregates — ``(term, df_part)`` for the
+    batch's distinct (doc, term) pairs plus one sentinel row carrying the
+    batch's ``(n_docs, n_tokens)`` — so the shuffle moves per-batch vocab
+    rows, not exploded postings, and a single small hash-aggregate action
+    yields exact corpus stats AND the exact hot-term document frequencies.
+
+    → (n_docs, total_tokens, {hot_term: n_salt_buckets})
+    """
     cfg = conf.bm25
 
-    @F.pandas_udf("array<string>")
-    def tok(s: pd.Series) -> pd.Series:
-        return tokenize_pandas(s, cfg).map(lambda xs: list(dict.fromkeys(xs)))
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            toks = tokenize_pandas(pdf["text"], cfg)
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            n_tok = int(lens.sum())
+            if n_tok:
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks.to_numpy()]
+                )
+                rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+                dfp = (
+                    pd.DataFrame({"row": rows, "term": flat})
+                    .drop_duplicates()
+                    .groupby("term", sort=False)
+                    .size()
+                )
+                out = pd.DataFrame(
+                    {
+                        "term": dfp.index.to_numpy(dtype=object),
+                        "df_part": dfp.to_numpy(dtype=np.int64),
+                        "n_docs": np.zeros(len(dfp), dtype=np.int64),
+                        "n_tokens": np.zeros(len(dfp), dtype=np.int64),
+                    }
+                )
+            else:
+                out = pd.DataFrame(
+                    {"term": pd.array([], dtype=object),
+                     "df_part": pd.array([], dtype=np.int64),
+                     "n_docs": pd.array([], dtype=np.int64),
+                     "n_tokens": pd.array([], dtype=np.int64)}
+                )
+            sentinel = pd.DataFrame(
+                {"term": [_STATS_SENTINEL], "df_part": [0],
+                 "n_docs": [len(pdf)], "n_tokens": [n_tok]}
+            )
+            yield pd.concat([out, sentinel], ignore_index=True)
 
-    dfreq = (
-        docs.select(F.explode(tok(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > conf.hot_df_threshold)
+    emitted = docs.select("text").mapInPandas(
+        partials, schema="term string, df_part long, n_docs long, n_tokens long"
     )
-    out = {}
-    for r in dfreq.collect():
-        s_t = int(np.ceil(r["df"] / conf.hot_df_threshold))
-        out[r["term"]] = int(min(s_t, 4096))
-    return out
+    rows = (
+        emitted.groupBy("term")
+        .agg(
+            F.sum("df_part").alias("df"),
+            F.sum("n_docs").alias("nd"),
+            F.sum("n_tokens").alias("tk"),
+        )
+        .filter(
+            (F.col("term") == _STATS_SENTINEL) | (F.col("df") > conf.hot_df_threshold)
+        )
+        .collect()
+    )
+    n_docs, total_tokens, hot = 0, 0, {}
+    for r in rows:
+        if r["term"] == _STATS_SENTINEL:
+            n_docs, total_tokens = int(r["nd"]), int(r["tk"])
+        else:
+            s_t = int(np.ceil(r["df"] / conf.hot_df_threshold))
+            hot[r["term"]] = int(min(s_t, 4096))
+    return n_docs, total_tokens, hot
 
 
 def emit_postings(
