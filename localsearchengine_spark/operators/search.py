@@ -16,7 +16,6 @@ doc_id ascending.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import SparkSession
@@ -29,19 +28,70 @@ from localsearchengine_spark.operators.wand import wand_topk
 from localsearchengine_spark.utils import read_json
 
 
-@dataclass
 class TermPostings:
-    term: str
-    doc_ids: np.ndarray      # int64, sorted ascending
-    tf_norm: np.ndarray      # float64 — tf/(tf + k1*(1-b+b*dl/avgdl))
-    idf: float
-    block_starts: np.ndarray  # int64 offsets into doc_ids
-    block_max_doc: np.ndarray  # int64 per block
-    block_max_tfn: np.ndarray  # float64 per block
+    """One term's compressed posting list with LAZY per-block decode.
+
+    Query-time pruning (wand.py) decides from the per-block metadata which
+    blocks to touch; varint+delta decode happens only for touched blocks —
+    on a skip-heavy query most of the list is never decompressed.  The
+    AND/OR paths call :meth:`decode_all` (intersection needs every docID).
+    """
+
+    __slots__ = (
+        "term", "idf", "df", "blocks", "block_max_doc", "block_bound_tfn",
+        "block_counts", "_avgdl", "_cfg", "_block_cache", "_full",
+    )
+
+    def __init__(self, term, blocks, idf, df, avgdl, cfg):
+        self.term = term
+        self.blocks = blocks  # raw dicts: n, max_doc_id, tf_norm_max, *_bytes
+        self.idf = float(idf)
+        self.df = int(df)
+        self.block_max_doc = np.asarray(
+            [b["max_doc_id"] for b in blocks], dtype=np.int64
+        )
+        self.block_bound_tfn = np.asarray(
+            [b["tf_norm_max"] for b in blocks], dtype=np.float64
+        )
+        self.block_counts = np.asarray([b["n"] for b in blocks], dtype=np.int64)
+        self._avgdl = float(avgdl)
+        self._cfg = cfg
+        self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.blocks)
+
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """→ (doc_ids, tf_norm) of block ``i`` (cached)."""
+        hit = self._block_cache.get(i)
+        if hit is None:
+            ids, tfs, dls = codec.decode_blocks([self.blocks[i]])
+            hit = (ids, tf_norm_np(tfs, dls, self._avgdl, self._cfg))
+            self._block_cache[i] = hit
+        return hit
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._full is None:
+            ids, tfs, dls = codec.decode_blocks(self.blocks)
+            self._full = (ids, tf_norm_np(tfs, dls, self._avgdl, self._cfg))
+        return self._full
+
+    # ---- eager views (AND/OR paths, tests) --------------------------------
+    @property
+    def doc_ids(self) -> np.ndarray:
+        return self.decode_all()[0]
+
+    @property
+    def tf_norm(self) -> np.ndarray:
+        return self.decode_all()[1]
 
     @property
     def max_score(self) -> float:
-        return float(self.idf * (self.block_max_tfn.max() if len(self.block_max_tfn) else 0.0))
+        return float(
+            self.idf * (self.block_bound_tfn.max() if len(self.blocks) else 0.0)
+        )
 
 
 class Index:
@@ -94,25 +144,14 @@ class Index:
                     continue
                 trs.sort(key=lambda r: r["salt"])  # salt buckets are doc_id ranges
                 blocks = [b for r in trs for b in r["blocks"]]
-                doc_ids, tfs, dls = codec.decode_blocks(blocks)
                 df_total = int(sum(r["df"] for r in trs))
-                starts = (
-                    np.cumsum([0] + [b["n"] for b in blocks[:-1]]).astype(np.int64)
-                    if blocks
-                    else np.empty(0, dtype=np.int64)
-                )
                 self._cache[t] = TermPostings(
                     term=t,
-                    doc_ids=doc_ids,
-                    tf_norm=tf_norm_np(tfs, dls, self.avgdl, self.cfg),
+                    blocks=blocks,
                     idf=self.cfg.idf(df_total, self.n_docs),
-                    block_starts=starts,
-                    block_max_doc=np.asarray(
-                        [b["max_doc_id"] for b in blocks], dtype=np.int64
-                    ),
-                    block_max_tfn=np.asarray(
-                        [b["tf_norm_max"] for b in blocks], dtype=np.float64
-                    ),
+                    df=df_total,
+                    avgdl=self.avgdl,
+                    cfg=self.cfg,
                 )
         return {t: self._cache[t] for t in terms if self._cache.get(t) is not None}
 

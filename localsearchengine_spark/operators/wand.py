@@ -1,22 +1,40 @@
-"""A17 — block-max WAND top-k (Broder et al. CIKM 2003; Ding & Suel SIGIR
-2011).  BASELINE.json:6: "top-k retrieval uses posting-list intersection with
+"""A17 — block-max top-k pruning (Broder et al. CIKM 2003 WAND family;
+Ding & Suel SIGIR 2011 block-max; Turtle & Flood 1995 MaxScore).
+BASELINE.json:6: "top-k retrieval uses posting-list intersection with
 block-max WAND pruning".
 
 Exact: returns the identical top-k (docIDs and float64 scores) as the
 exhaustive disjunctive scorer (search._or_topk) — verified by the
 WAND==exhaustive equivalence tests.  This is *our* query-time optimizer
-(SURVEY.md §4): Catalyst cannot prune inside posting lists, so pruning lives
-here, below the DataFrame layer, driven by per-block ``tf_norm_max`` bounds
-persisted at build time (codec.encode_blocks).
+(SURVEY.md §4): Catalyst cannot prune inside posting lists, so pruning
+lives here, below the DataFrame layer, driven by per-block ``tf_norm_max``
+bounds persisted at build time (codec.encode_blocks).
 
-A conservative 1e-10 margin on the skip threshold keeps pruning decisions
-safe against float summation-order effects (bounds are per-term exact upper
-bounds; only their *sum* could round below the true score's sum).
+The classic document-at-a-time WAND loop is pointer-chasing — O(1) work
+per visited posting, which in CPython costs more than it saves.  This
+implementation keeps the same bounds math but stays array-at-a-time so
+every step is a NumPy kernel over whole blocks:
+
+  1. seed θ with the k-th best score of the highest-impact term, decoding
+     its blocks in descending block-bound order and stopping when the next
+     bound cannot beat the running k-th score;
+  2. MaxScore split: terms whose upper bounds sum below θ are
+     non-essential — no document found *only* in them can reach the top-k;
+  3. block-max pruning: a block b of essential term t survives only if
+     bound(b) + Σ_{t'≠t} term_max(t') can beat θ — skipped blocks are
+     never varint-decoded (the lazy TermPostings API);
+  4. candidates = union of surviving blocks' docIDs; exact BM25 scores are
+     accumulated per term in sorted term order (bit-identical float64
+     summation vs the oracle), decoding only the blocks candidates land in.
+
+Safety of every skip: a pruned document's true score is ≤ the pruning
+bound ≤ θ − ε < θ ≤ the final k-th score, so it can never displace a
+top-k member even under score ties (ties break by doc_id, and only docs
+*strictly below* θ are ever pruned).  ε absorbs float summation-order
+effects in the bound sums.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 
@@ -25,96 +43,106 @@ from localsearchengine_spark.config import BM25Config
 _EPS = 1e-10
 
 
+def _seed_theta(p, scale: float, k: int) -> float:
+    """Exact k-th best score of a single posting list, best-block-first with
+    bound-based early stop.  Returns -inf when the list has < k postings."""
+    bounds = scale * p.block_bound_tfn
+    order = np.argsort(-bounds, kind="stable")
+    top: np.ndarray = np.empty(0, dtype=np.float64)
+    kth = float("-inf")
+    for bi in order:
+        if len(top) >= k and bounds[bi] <= kth - _EPS:
+            break
+        _, tfn = p.decode_block(int(bi))
+        merged = np.concatenate([top, scale * tfn])
+        if len(merged) >= k:
+            top = np.partition(merged, len(merged) - k)[len(merged) - k:]
+            kth = float(top.min())
+        else:
+            top = merged
+    return kth
+
+
+def _lookup(ids: np.ndarray, bids: np.ndarray, btfn: np.ndarray) -> np.ndarray:
+    """tf_norm at ``ids`` via binary search into (bids, btfn); 0.0 if absent."""
+    pos = np.searchsorted(bids, ids)
+    pos_c = np.minimum(pos, len(bids) - 1)
+    hit = bids[pos_c] == ids
+    return np.where(hit, btfn[pos_c], 0.0)
+
+
+def _contrib_at(p, ids: np.ndarray) -> np.ndarray:
+    """tf_norm of term ``p`` at each docID in ``ids`` (0.0 when absent),
+    decoding only the blocks the candidates fall into.  When candidates
+    touch most blocks anyway (hot terms, low selectivity) the per-block
+    loop costs more than it saves — decode the whole list once and do a
+    single vectorized lookup instead."""
+    out = np.zeros(len(ids), dtype=np.float64)
+    if p.n_blocks == 0 or len(ids) == 0:
+        return out
+    bi = np.searchsorted(p.block_max_doc, ids, side="left")
+    inside = bi < p.n_blocks
+    needed = np.unique(bi[inside])
+    if len(needed) > max(8, p.n_blocks // 4):
+        bids, btfn = p.decode_all()
+        return _lookup(ids, bids, btfn)
+    for b in needed:
+        sel = inside & (bi == b)
+        bids, btfn = p.decode_block(int(b))
+        out[sel] = _lookup(ids[sel], bids, btfn)
+    return out
+
+
 def wand_topk(plists, k: int, cfg: BM25Config) -> list[tuple[int, float]]:
     """plists: list[TermPostings] in sorted term order (search.py)."""
-    terms = [p for p in plists if len(p.doc_ids) > 0]
+    terms = [p for p in plists if p.n_blocks > 0]
     if not terms or k <= 0:
         return []
     n = len(terms)
-    scale = [float(p.idf * (cfg.k1 + 1.0)) for p in terms]  # same op order as oracle
-    term_ub = [scale[i] * float(terms[i].block_max_tfn.max()) for i in range(n)]
-    ptr = [0] * n
-    alive = list(range(n))
-    heap: list[tuple[float, int]] = []  # (score, -doc_id); root = current worst
+    scale = np.asarray([p.idf * (cfg.k1 + 1.0) for p in terms], dtype=np.float64)
+    tmax = np.asarray(
+        [scale[i] * float(terms[i].block_bound_tfn.max()) for i in range(n)],
+        dtype=np.float64,
+    )
 
-    def theta() -> float:
-        return heap[0][0] if len(heap) >= k else float("-inf")
+    # 1. θ seed from the highest-impact term
+    t0 = int(np.argmax(tmax))
+    theta = _seed_theta(terms[t0], float(scale[t0]), k)
 
-    while alive:
-        alive.sort(key=lambda t: terms[t].doc_ids[ptr[t]])
-        th = theta()
-        # --- pivot selection: smallest doc where Σ term UBs could beat θ ---
-        acc = 0.0
-        pivot_i = -1
-        for j, t in enumerate(alive):
-            acc += term_ub[t]
-            if acc > th + _EPS or th == float("-inf"):
-                pivot_i = j
-                break
-        if pivot_i < 0:
-            break  # no doc can beat θ anymore
-        pivot_doc = int(terms[alive[pivot_i]].doc_ids[ptr[alive[pivot_i]]])
+    # 2. MaxScore essential split
+    non_essential: set[int] = set()
+    if theta > float("-inf"):
+        order = np.argsort(tmax, kind="stable")
+        cum = np.cumsum(tmax[order])
+        non_essential = set(int(i) for i in order[cum <= theta - _EPS])
 
-        first = alive[0]
-        if int(terms[first].doc_ids[ptr[first]]) == pivot_doc:
-            # all involved terms aligned at pivot → block-max check (BMW)
-            involved = [t for t in alive if int(terms[t].doc_ids[ptr[t]]) <= pivot_doc]
-            bm = 0.0
-            block_ends = []
-            for t in involved:
-                p = terms[t]
-                bi = int(np.searchsorted(p.block_max_doc, pivot_doc, side="left"))
-                bi = min(bi, len(p.block_max_doc) - 1)
-                bm += scale[t] * float(p.block_max_tfn[bi])
-                block_ends.append(int(p.block_max_doc[bi]))
-            if th != float("-inf") and bm <= th - _EPS:
-                # skip: jump past the shallowest block boundary (NextShallow)
-                nxt = min(block_ends) + 1
-                if pivot_i + 1 < len(alive):
-                    t_next = alive[pivot_i + 1]
-                    nxt = min(nxt, int(terms[t_next].doc_ids[ptr[t_next]]))
-                nxt = max(nxt, pivot_doc + 1)
-                _advance_all(terms, ptr, alive, involved, nxt)
-            else:
-                # evaluate pivot_doc exactly, summed in sorted term order
-                contribs = []
-                for t in range(n):
-                    p = terms[t]
-                    if ptr[t] < len(p.doc_ids) and int(p.doc_ids[ptr[t]]) == pivot_doc:
-                        contribs.append((p.term, scale[t] * float(p.tf_norm[ptr[t]])))
-                contribs.sort(key=lambda x: x[0])
-                score = 0.0
-                for _, c in contribs:
-                    score += c
-                if len(heap) < k:
-                    heapq.heappush(heap, (score, -pivot_doc))
-                elif score > heap[0][0]:
-                    heapq.heapreplace(heap, (score, -pivot_doc))
-                _advance_all(terms, ptr, alive, alive, pivot_doc + 1)
-        else:
-            # advance the term with the largest posting list among those
-            # strictly before the pivot (fewest future alignments lost);
-            # strictness guarantees progress — a term already at the pivot
-            # would not move under searchsorted(side="left")
-            before = [t for t in alive if int(terms[t].doc_ids[ptr[t]]) < pivot_doc]
-            t_adv = max(before, key=lambda t: len(terms[t].doc_ids))
-            _advance_one(terms, ptr, t_adv, pivot_doc)
-            alive = [t for t in alive if ptr[t] < len(terms[t].doc_ids)]
+    # 3+4. surviving blocks of essential terms → candidate docIDs
+    total = float(tmax.sum())
+    cand_parts: list[np.ndarray] = []
+    for i, p in enumerate(terms):
+        if i in non_essential:
             continue
-        alive = [t for t in alive if ptr[t] < len(terms[t].doc_ids)]
+        others = total - float(tmax[i])
+        keep = scale[i] * p.block_bound_tfn + others > theta - _EPS
+        kept = np.flatnonzero(keep)
+        if len(kept) > max(8, p.n_blocks // 4):
+            # low selectivity: one full decode + one boolean gather beats
+            # a Python loop over hundreds of 128-entry blocks
+            ids_all, _ = p.decode_all()
+            cand_parts.append(ids_all[np.repeat(keep, p.block_counts)])
+        else:
+            for b in kept:
+                ids, _ = p.decode_block(int(b))
+                cand_parts.append(ids)
+    if not cand_parts:
+        return []
+    cands = np.unique(np.concatenate(cand_parts))
 
-    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-    return [(int(-nd), float(s)) for s, nd in out]
+    # exact scoring, accumulated in sorted term order (determinism contract)
+    scores = np.zeros(len(cands), dtype=np.float64)
+    for i, p in enumerate(terms):  # plists arrive term-sorted
+        s = float(scale[i])
+        scores += s * _contrib_at(p, cands)
 
-
-def _advance_one(terms, ptr, t, target_doc: int) -> None:
-    # binary search on the unread suffix (galloping-equivalent skip, helped
-    # further by whole-block max_doc_id metadata living in the same arrays)
-    p = terms[t]
-    ptr[t] = ptr[t] + int(np.searchsorted(p.doc_ids[ptr[t]:], target_doc, side="left"))
-
-
-def _advance_all(terms, ptr, alive, involved, target_doc: int) -> None:
-    for t in involved:
-        if ptr[t] < len(terms[t].doc_ids) and int(terms[t].doc_ids[ptr[t]]) < target_doc:
-            _advance_one(terms, ptr, t, target_doc)
+    top = np.lexsort((cands, -scores))[:k]
+    return [(int(cands[i]), float(scores[i])) for i in top]

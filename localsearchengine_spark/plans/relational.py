@@ -670,3 +670,10 @@ def approx01(spark, sf_dir):
 
 
 SPARK_QUERIES["approx01_count_distinct"] = approx01
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
+# registers itself into SPARK_QUERIES / ORACLE_SQL on import.
+# ---------------------------------------------------------------------------
+from localsearchengine_spark.plans import training_data  # noqa: E402,F401
