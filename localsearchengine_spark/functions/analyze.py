@@ -42,20 +42,85 @@ def tokenize_pandas(s: pd.Series, cfg: BM25Config | None = None) -> pd.Series:
     return s.str.findall(cfg.token_pattern)
 
 
+def separator_pattern(cfg: BM25Config) -> str | None:
+    """Invert a simple character-class token pattern ``[...]+`` into the
+    separator pattern its complement splits on; None when the pattern is
+    not of that shape (the Arrow fast path then falls back to findall)."""
+    m = re.fullmatch(r"\[([^\]\\^]+)\]\+", cfg.token_pattern)
+    return f"[^{m.group(1)}]+" if m else None
+
+
+_EMPTY_TFF = {
+    "row": pd.array([], dtype=np.int64), "term": pd.array([], dtype=object),
+    "tf": pd.array([], dtype=np.int64), "dl": pd.array([], dtype=np.int64),
+}
+
+
 def term_freq_frame(texts: pd.Series, cfg: BM25Config | None = None) -> pd.DataFrame:
     """Batch kernel: texts → long-form ``(row, term, tf, dl)``.
 
     ``row`` is the positional index into ``texts`` (0..len-1); ``dl`` is the
-    token count of that text.  Fully vectorized: one str.findall pass, one
-    groupby-size — no Python loop over rows.
+    token count of that text.  Hot path is pure Arrow C++ (utf8_lower +
+    RE2 split + dictionary-encode) plus a run-aware stable sort for the
+    (row, term) counts — the key stream is already row-ordered, which
+    timsort exploits.  Splitting on the complemented class is equivalent to
+    findall of the class except for empty boundary artifacts, which are
+    dropped explicitly; any non-class token pattern falls back to the
+    pandas findall path (same output, bit-identical).
     """
+    cfg = cfg or BM25Config()
+    sep = separator_pattern(cfg)
+    if sep is None:
+        return _term_freq_frame_pandas(texts, cfg)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = texts.reset_index(drop=True).fillna("")
+    arr = pa.array(texts, type=pa.string())
+    if cfg.lowercase:
+        arr = pc.utf8_lower(arr)
+    toks = pc.split_pattern_regex(arr, sep)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    if lens.sum() == 0:
+        return pd.DataFrame(_EMPTY_TFF)
+    enc = pc.list_flatten(toks).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    rows = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    empty = np.flatnonzero(uniq == "")
+    if len(empty):
+        sel = codes != empty[0]
+        rows, codes = rows[sel], codes[sel]
+    if len(rows) == 0:
+        return pd.DataFrame(_EMPTY_TFF)
+    dl = np.bincount(rows, minlength=len(texts))
+    V = len(uniq)
+    key = rows * V + codes
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    first = np.empty(len(sk), dtype=bool)
+    first[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.append(starts, len(sk)))
+    u = sk[starts]
+    out_row = u // V
+    return pd.DataFrame(
+        {
+            "row": out_row,
+            "term": uniq[(u % V).astype(np.int64)],
+            "tf": tf.astype(np.int64),
+            "dl": dl[out_row],
+        }
+    )
+
+
+def _term_freq_frame_pandas(texts: pd.Series, cfg: BM25Config) -> pd.DataFrame:
+    """findall reference path (arbitrary token patterns)."""
     toks = tokenize_pandas(texts.reset_index(drop=True), cfg)
     lens = toks.str.len().to_numpy(dtype=np.int64)
     if lens.sum() == 0:
-        return pd.DataFrame(
-            {"row": pd.array([], dtype=np.int64), "term": pd.array([], dtype=object),
-             "tf": pd.array([], dtype=np.int64), "dl": pd.array([], dtype=np.int64)}
-        )
+        return pd.DataFrame(_EMPTY_TFF)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
     rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
     counts = (
@@ -70,5 +135,20 @@ def term_freq_frame(texts: pd.Series, cfg: BM25Config | None = None) -> pd.DataF
 
 
 def doc_lengths(texts: pd.Series, cfg: BM25Config | None = None) -> np.ndarray:
-    """Token count per text (dl), vectorized."""
-    return tokenize_pandas(texts, cfg).str.len().to_numpy(dtype=np.int64)
+    """Token count per text (dl), vectorized (Arrow RE2 match count when
+    available for the pattern, else findall)."""
+    cfg = cfg or BM25Config()
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(texts.reset_index(drop=True).fillna(""), type=pa.string())
+        if cfg.lowercase:
+            arr = pc.utf8_lower(arr)
+        return (
+            pc.count_substring_regex(arr, cfg.token_pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    except Exception:
+        return tokenize_pandas(texts, cfg).str.len().to_numpy(dtype=np.int64)

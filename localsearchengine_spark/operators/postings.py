@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from localsearchengine_spark.config import BuildConfig
-from localsearchengine_spark.functions.analyze import term_freq_frame, tokenize_pandas
+from localsearchengine_spark.functions.analyze import term_freq_frame
 from localsearchengine_spark.operators import codec
 from localsearchengine_spark.utils import atomic_write_json
 
@@ -98,35 +98,17 @@ def stats_hot_scan(docs: DataFrame, conf: BuildConfig) -> tuple[int, int, dict[s
         for pdf in it:
             if pdf.empty:
                 continue
-            toks = tokenize_pandas(pdf["text"], cfg)
-            lens = toks.str.len().to_numpy(dtype=np.int64)
-            n_tok = int(lens.sum())
-            if n_tok:
-                flat = np.concatenate(
-                    [np.asarray(t, dtype=object) for t in toks.to_numpy()]
-                )
-                rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
-                dfp = (
-                    pd.DataFrame({"row": rows, "term": flat})
-                    .drop_duplicates()
-                    .groupby("term", sort=False)
-                    .size()
-                )
-                out = pd.DataFrame(
-                    {
-                        "term": dfp.index.to_numpy(dtype=object),
-                        "df_part": dfp.to_numpy(dtype=np.int64),
-                        "n_docs": np.zeros(len(dfp), dtype=np.int64),
-                        "n_tokens": np.zeros(len(dfp), dtype=np.int64),
-                    }
-                )
-            else:
-                out = pd.DataFrame(
-                    {"term": pd.array([], dtype=object),
-                     "df_part": pd.array([], dtype=np.int64),
-                     "n_docs": pd.array([], dtype=np.int64),
-                     "n_tokens": pd.array([], dtype=np.int64)}
-                )
+            tff = term_freq_frame(pdf["text"], cfg)  # one (row, term, tf, dl) pass
+            n_tok = int(tff.drop_duplicates("row")["dl"].sum()) if len(tff) else 0
+            dfp = tff.groupby("term", sort=False).size() if len(tff) else pd.Series(dtype=np.int64)
+            out = pd.DataFrame(
+                {
+                    "term": dfp.index.to_numpy(dtype=object),
+                    "df_part": dfp.to_numpy(dtype=np.int64),
+                    "n_docs": np.zeros(len(dfp), dtype=np.int64),
+                    "n_tokens": np.zeros(len(dfp), dtype=np.int64),
+                }
+            )
             sentinel = pd.DataFrame(
                 {"term": [_STATS_SENTINEL], "df_part": [0],
                  "n_docs": [len(pdf)], "n_tokens": [n_tok]}

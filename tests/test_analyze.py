@@ -41,3 +41,52 @@ def test_term_freq_frame():
 def test_config_pattern():
     cfg = BM25Config(lowercase=False, token_pattern=r"[A-Za-z]+")
     assert tokenize_text("Ab cD 12", cfg) == ["Ab", "cD"]
+
+
+def test_arrow_and_pandas_kernels_agree():
+    """The Arrow RE2 split path must be row-for-row identical to the findall
+    reference on punctuation runs, unicode, empties, and None."""
+    import pandas as pd
+
+    from localsearchengine_spark.config import BM25Config
+    from localsearchengine_spark.functions.analyze import (
+        _term_freq_frame_pandas,
+        doc_lengths,
+        term_freq_frame,
+    )
+
+    texts = pd.Series(
+        [
+            "Hello, World!  hello_world 123",
+            "...___...",
+            "",
+            None,
+            "café über ¡hola! 中文 mixed_ascii",
+            "  leading and trailing  ",
+            "a a a b",
+        ]
+    )
+    cfg = BM25Config()
+    fast = term_freq_frame(texts, cfg).sort_values(["row", "term"]).reset_index(drop=True)
+    ref = _term_freq_frame_pandas(texts, cfg).sort_values(["row", "term"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast[["row", "term", "tf", "dl"]], ref[["row", "term", "tf", "dl"]])
+    import numpy as np
+
+    from localsearchengine_spark.functions.analyze import tokenize_pandas
+
+    assert np.array_equal(
+        doc_lengths(texts, cfg),
+        tokenize_pandas(texts, cfg).str.len().to_numpy(dtype="int64"),
+    )
+
+
+def test_non_class_pattern_falls_back():
+    import pandas as pd
+
+    from localsearchengine_spark.config import BM25Config
+    from localsearchengine_spark.functions.analyze import separator_pattern, term_freq_frame
+
+    cfg = BM25Config(token_pattern=r"[a-z]+(?:'[a-z]+)?")
+    assert separator_pattern(cfg) is None
+    out = term_freq_frame(pd.Series(["it's a test"]), cfg)
+    assert set(out["term"]) == {"it's", "a", "test"}
