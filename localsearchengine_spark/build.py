@@ -241,20 +241,7 @@ def build_index(
     t0 = time.time()
     post_dir = os.path.join(index_dir, "postings")
     if any(f.endswith(".parquet") for f in os.listdir(post_dir)) if os.path.isdir(post_dir) else False:
-        pdf = spark.read.parquet(post_dir)
-        # column pruning: the binary `blocks` column is never read here
-        (
-            pdf.groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("cf").alias("cf"),
-                F.max("max_tf_norm").alias("max_tf_norm"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.size("blocks")).alias("n_blocks"),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, "dictionary"))
-        )
+        P_mod.write_dictionary(spark, post_dir, os.path.join(index_dir, "dictionary"))
     manifest_rows = [
         read_json(os.path.join(index_dir, "manifest", f))
         for f in sorted(os.listdir(os.path.join(index_dir, "manifest")))

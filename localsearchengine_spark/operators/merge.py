@@ -110,20 +110,10 @@ def merge_indexes(
         merged = _merge_interleaved(posts, conf, avgdl)
     merged.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
 
-    # ---- dictionary (same shape as build.py) --------------------------------
-    pdf = spark.read.parquet(os.path.join(out_dir, "postings"))
-    (
-        pdf.groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("cf").alias("cf"),
-            F.max("max_tf_norm").alias("max_tf_norm"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.size("blocks")).alias("n_blocks"),
-        )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "dictionary"))
-    )
+    # ---- dictionary (same shape + adaptive path as build.py) ----------------
+    from localsearchengine_spark.operators.postings import write_dictionary
+
+    write_dictionary(spark, os.path.join(out_dir, "postings"), os.path.join(out_dir, "dictionary"))
 
     meta = {
         "build_id": uuid.uuid4().hex[:12],
@@ -173,6 +163,7 @@ def _merge_ordered(posts: DataFrame, k1: float, b: float, avgdl: float) -> DataF
         F.array_max(F.transform(new_blocks, lambda blk: blk["tf_norm_max"])).alias(
             "max_tf_norm"
         ),
+        F.size(new_blocks).cast("long").alias("n_blocks"),
         new_blocks.alias("blocks"),
     )
 
@@ -206,13 +197,14 @@ def _merge_interleaved(posts: DataFrame, conf: BuildConfig, avgdl: float) -> Dat
                     "df": len(d),
                     "cf": int(t.sum()),
                     "max_tf_norm": max(blk.tf_norm_max for blk in blocks),
+                    "n_blocks": len(blocks),
                     "blocks": [blk._asdict() for blk in blocks],
                 }
             ]
         )
 
     schema = (
-        "term string, salt int, df long, cf long, max_tf_norm double, "
+        "term string, salt int, df long, cf long, max_tf_norm double, n_blocks long, "
         "blocks array<struct<n:int,max_doc_id:long,tf_norm_max:double,"
         "max_tf:long,min_dl:long,doc_bytes:binary,tf_bytes:binary,dl_bytes:binary>>"
     )

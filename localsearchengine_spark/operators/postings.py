@@ -71,6 +71,7 @@ def postings_arrow_schema():
             pa.field("df", pa.int64()),
             pa.field("cf", pa.int64()),
             pa.field("max_tf_norm", pa.float64()),
+            pa.field("n_blocks", pa.int64()),
             pa.field("blocks", pa.list_(block)),
         ]
     )
@@ -261,6 +262,7 @@ def build_posting_partitions(
                     "df": int(len(d)),
                     "cf": int(t.sum()),
                     "max_tf_norm": float(max(blk.tf_norm_max for blk in blocks)),
+                    "n_blocks": len(blocks),
                     "blocks": [blk._asdict() for blk in blocks],
                 }
             )
@@ -347,3 +349,59 @@ def skew_report(manifest_rows: list[dict]) -> dict:
         "postings_median": int(med),
         "skew_ratio_max_over_median": round(loads[-1] / med, 3),
     }
+
+
+_DICT_DRIVER_MAX_ROWS = 5_000_000
+
+
+def write_dictionary(spark, postings_dir: str, dict_dir: str) -> None:
+    """A14 support — dictionary = per-term (df, cf, max_tf_norm, n_rows,
+    n_blocks) over the postings metadata columns (the heavy ``blocks``
+    column is never read: per-row block counts are persisted at build).
+
+    Adaptive execution: a small vocabulary aggregates driver-side in one
+    pyarrow scan (no Spark job — the common case at bench scale and for
+    per-segment dictionaries); a large vocabulary (10^12-turn corpora have
+    vocabularies far beyond driver memory) falls back to a distributed
+    column-pruned groupBy."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    data = ds.dataset(postings_dir, format="parquet")
+    if data.count_rows() <= _DICT_DRIVER_MAX_ROWS:
+        tbl = data.to_table(columns=["term", "df", "cf", "max_tf_norm", "n_blocks"])
+        agg = (
+            tbl.to_pandas()
+            .groupby("term", sort=False)
+            .agg(
+                df=("df", "sum"),
+                cf=("cf", "sum"),
+                max_tf_norm=("max_tf_norm", "max"),
+                n_rows=("term", "size"),
+                n_blocks=("n_blocks", "sum"),
+            )
+            .reset_index()
+        )
+        os.makedirs(dict_dir, exist_ok=True)
+        import pyarrow as pa
+
+        tmp = os.path.join(dict_dir, f".dict.parquet.tmp-{os.getpid()}")
+        pq.write_table(pa.Table.from_pandas(agg, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(dict_dir, "part-00000.parquet"))
+        for f in os.listdir(dict_dir):
+            if f.startswith("part-") and f != "part-00000.parquet":
+                os.remove(os.path.join(dict_dir, f))
+        return
+    (
+        spark.read.parquet(postings_dir)
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf_norm").alias("max_tf_norm"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_blocks").alias("n_blocks"),
+        )
+        .write.mode("overwrite")
+        .parquet(dict_dir)
+    )
