@@ -205,17 +205,37 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]
 
 
 def _and_topk(plists, k: int, cfg: BM25Config) -> list[tuple[int, float]]:
-    """A16 — intersect rarest-first via vectorized binary search (the NumPy
-    equivalent of galloping intersection), then score survivors only."""
-    order = sorted(plists, key=lambda p: len(p.doc_ids))
+    """A16 — rarest-first intersection with block skipping: only the rarest
+    term's list is fully decoded; every other term is probed through the
+    lazy per-block lookup (wand._contrib_at), so blocks of hot terms that
+    contain no candidate are never varint-decoded.  tf ≥ 1 ⇒ tf_norm > 0,
+    so a zero contribution is exactly "doc absent".  Scores are then
+    accumulated in sorted term order (the determinism contract) from the
+    same lookups, giving float64 results bit-identical to the exhaustive
+    path."""
+    from localsearchengine_spark.operators.wand import _contrib_at
+
+    order = sorted(plists, key=lambda p: p.df)
     ids = order[0].doc_ids
+    contribs: dict[str, np.ndarray] = {}
     for p in order[1:]:
         if len(ids) == 0:
             return []
-        pos = np.searchsorted(p.doc_ids, ids)
-        pos_c = np.minimum(pos, len(p.doc_ids) - 1)
-        ids = ids[p.doc_ids[pos_c] == ids]
-    return _topk(ids, _score_at(plists, ids, cfg), k)
+        c = _contrib_at(p, ids)
+        keep = c > 0.0
+        ids = ids[keep]
+        contribs = {t: v[keep] for t, v in contribs.items()}
+        contribs[p.term] = c[keep]
+    if len(ids) == 0:
+        return []
+    scores = np.zeros(len(ids), dtype=np.float64)
+    for p in plists:  # sorted term order — fixed summation order
+        s = p.idf * (cfg.k1 + 1.0)
+        if p.term in contribs:
+            scores += s * contribs[p.term]
+        else:
+            scores += s * _contrib_at(p, ids)
+    return _topk(ids, scores, k)
 
 
 def _or_topk(plists, k: int, cfg: BM25Config) -> list[tuple[int, float]]:
