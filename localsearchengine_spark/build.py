@@ -24,8 +24,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
 
 from localsearchengine_spark.config import BuildConfig
 from localsearchengine_spark.operators import postings as P_mod

@@ -57,6 +57,14 @@ def decode_postings_df(spark: SparkSession, index_dir: str, terms: list[str]) ->
     return rows.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+# AND queries whose rarest term has df below this are pre-filtered with a
+# semi-join on that term's (small) posting list before the big shuffle —
+# the classic rare∧hot search shape then shuffles df_rare rows per query
+# instead of Σ df_t.  Queries with no selective term skip the filter (the
+# candidate set would be as large as the thing it filters).
+_SELECTIVE_DF = 50_000
+
+
 def run_queries(
     spark: SparkSession,
     index: Index,
@@ -94,6 +102,27 @@ def run_queries(
     )
 
     decoded = decode_postings_df(spark, index.index_dir, all_terms)
+
+    # rare-term semi-join pre-filter (AND only): candidates from a second,
+    # term-pushdown-pruned scan of just the rare posting lists
+    cand = None
+    if mode == "and":
+        rare_rows = []
+        for qd in queries:
+            terms = sorted(set(qd["terms"]))
+            present = [(int(dic[t]["df"]), t) for t in terms if t in dic]
+            if len(present) >= 2 and min(present)[0] <= _SELECTIVE_DF:
+                rare_rows.append((int(qd["query_id"]), min(present)[1]))
+        if rare_rows:
+            rare_df = spark.createDataFrame(rare_rows, "query_id long, term string")
+            rare_terms = sorted({t for _, t in rare_rows})
+            cand = (
+                decode_postings_df(spark, index.index_dir, rare_terms)
+                .join(F.broadcast(rare_df), "term")
+                .select("query_id", "doc_id")
+            )
+            filtered_qids = {qid for qid, _ in rare_rows}
+
     k1, b = cfg.k1, cfg.b
     contrib = (
         F.col("idf")
@@ -105,9 +134,16 @@ def run_queries(
             * (F.lit(1.0) - b + F.lit(b) * F.col("dl").cast("double") / F.lit(index.avgdl))
         )
     )
+    joined = decoded.join(F.broadcast(qdf), "term").select(
+        "query_id", "doc_id", "n_terms", "n_present", "k", contrib.alias("contrib")
+    )
+    if cand is not None:
+        in_f = F.col("query_id").isin([int(q) for q in filtered_qids])
+        joined = joined.filter(in_f).join(
+            cand, ["query_id", "doc_id"], "left_semi"
+        ).unionByName(joined.filter(~in_f))
     scored = (
-        decoded.join(F.broadcast(qdf), "term")
-        .select("query_id", "doc_id", "n_terms", "n_present", "k", contrib.alias("contrib"))
+        joined
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("contrib").alias("score"),

@@ -28,7 +28,6 @@ from __future__ import annotations
 import os
 import time
 import uuid
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -19,10 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
+from pyspark.sql import functions as F
 
-from localsearchengine_spark.plans.relational import ORACLE_SQL, SPARK_QUERIES, _t, q
+from localsearchengine_spark.plans.relational import SPARK_QUERIES, _t, q
 
 # ---------------------------------------------------------------------------
 # shared shingle helpers (word 3-grams over the space-split token stream)
