@@ -542,17 +542,39 @@ def b20(spark, sf_dir):
 _FTS_TERMS = ["merge", "small"]  # sorted
 
 
-@q("fts01_engine_bm25_topk", _bm25_sql(_FTS_TERMS, 10, "and"))
-def fts01(spark, sf_dir):
+def _engine_search(spark, sf_dir, terms: list[str], k: int, mode: str):
     from localsearchengine_spark.operators.search import Index
     from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
 
-    idx_dir = ensure_documents_index(spark, sf_dir)
-    index = Index(spark, idx_dir)
-    hits = index.search(_FTS_TERMS, k=10, mode="and")
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    hits = index.search(terms, k=k, mode=mode)
     return spark.createDataFrame(
         [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
     )
+
+
+@q("fts01_engine_bm25_topk", _bm25_sql(_FTS_TERMS, 10, "and"))
+def fts01(spark, sf_dir):
+    return _engine_search(spark, sf_dir, _FTS_TERMS, 10, "and")
+
+
+# OR-mode top-k through the block-max WAND path vs the same SQL oracle in
+# disjunctive mode — pins WAND pruning correctness into the driver gate.
+_FTS2_TERMS = ["filter", "scan", "stream"]  # sorted
+
+
+@q("fts02_engine_wand_or", _bm25_sql(_FTS2_TERMS, 15, "or"))
+def fts02(spark, sf_dir):
+    return _engine_search(spark, sf_dir, _FTS2_TERMS, 15, "wand")
+
+
+# three-term conjunctive intersection (block-skipping AND path), deeper k
+_FTS3_TERMS = ["group", "sort", "window"]  # sorted
+
+
+@q("fts03_engine_and3", _bm25_sql(_FTS3_TERMS, 20, "and"))
+def fts03(spark, sf_dir):
+    return _engine_search(spark, sf_dir, _FTS3_TERMS, 20, "and")
 
 
 # ---------------------------------------------------------------------------

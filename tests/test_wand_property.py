@@ -1,0 +1,69 @@
+"""Property test: block-max WAND == exhaustive scoring on arbitrary
+synthetic posting lists (hypothesis-generated, no Spark needed) — including
+adversarial shapes the golden corpus never produces: single-posting terms,
+all-identical scores (tie-break storms), k larger than the candidate set."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from localsearchengine_spark.config import BM25Config
+from localsearchengine_spark.operators import codec
+from localsearchengine_spark.operators.search import TermPostings, _or_topk
+from localsearchengine_spark.operators.wand import wand_topk
+
+CFG = BM25Config()
+AVGDL = 20.0
+
+
+def _term(name: str, doc_ids: list[int], rng: np.random.Generator, n_docs: int,
+          block_size: int) -> TermPostings:
+    ids = np.asarray(sorted(set(doc_ids)), dtype=np.int64)
+    tfs = rng.integers(1, 6, size=len(ids)).astype(np.int64)
+    dls = rng.integers(5, 60, size=len(ids)).astype(np.int64)
+    blocks = [
+        b._asdict()
+        for b in codec.encode_blocks(
+            ids, tfs, dls, block_size=block_size, k1=CFG.k1, b=CFG.b, avgdl=AVGDL
+        )
+    ]
+    return TermPostings(
+        term=name,
+        blocks=blocks,
+        idf=CFG.idf(len(ids), n_docs),
+        df=len(ids),
+        avgdl=AVGDL,
+        cfg=CFG,
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    n_terms=st.integers(1, 5),
+    k=st.integers(1, 25),
+    block_size=st.sampled_from([2, 3, 8, 64]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wand_equals_exhaustive(data, n_terms, k, block_size, seed):
+    rng = np.random.default_rng(seed)
+    n_docs = 500
+    plists = []
+    for i in range(n_terms):
+        ids = data.draw(
+            st.lists(st.integers(0, n_docs - 1), min_size=1, max_size=120),
+            label=f"term{i}_ids",
+        )
+        plists.append(_term(f"t{i:02d}", ids, rng, n_docs, block_size))
+    plists.sort(key=lambda p: p.term)
+    got = wand_topk(plists, k, CFG)
+    # fresh postings objects for the reference path (no shared decode cache)
+    ref_lists = []
+    for p in plists:
+        ref_lists.append(
+            TermPostings(p.term, p.blocks, p.idf, p.df, AVGDL, CFG)
+        )
+    exp = _or_topk(ref_lists, k, CFG)
+    assert got == exp
