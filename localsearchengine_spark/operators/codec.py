@@ -156,3 +156,53 @@ def decode_blocks(blocks: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         np.concatenate(tf_parts),
         np.concatenate(dl_parts),
     )
+
+
+def docids_from_deltas(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenated per-block delta streams → absolute doc_ids in one pass.
+
+    Each block's first value is stored absolute (blocks are self-contained),
+    so a global cumsum needs only the previous block's running total
+    subtracted back out — a segmented cumsum with no Python per block.
+    """
+    c = np.cumsum(vals.astype(np.int64))
+    starts = np.cumsum(counts) - counts
+    prev = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0)
+    return c - np.repeat(prev, counts)
+
+
+class StreamBlocks:
+    """Arrow-native posting-list storage: per stream, ONE contiguous byte
+    buffer plus per-block offsets (straight from the parquet BinaryArray
+    layout, one memcpy per salt row).  decode of the whole list is a single
+    LEB128 pass per stream — concatenated varint streams are themselves a
+    valid varint stream — instead of a NumPy call per 128-entry block.
+    """
+
+    __slots__ = ("counts", "bufs", "offs")
+
+    def __init__(self, counts: np.ndarray, bufs: dict, offs: dict):
+        self.counts = counts  # int64 per block
+        self.bufs = bufs      # stream name -> bytes (concatenated blocks)
+        self.offs = offs      # stream name -> int64 offsets (len blocks+1)
+
+    def __len__(self) -> int:
+        return len(self.counts)
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        total = int(self.counts.sum())
+        deltas = decode_varints(self.bufs["doc"], total)
+        return (
+            docids_from_deltas(deltas, self.counts),
+            decode_varints(self.bufs["tf"], total).astype(np.int64),
+            decode_varints(self.bufs["dl"], total).astype(np.int64),
+        )
+
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = int(self.counts[i])
+        out = []
+        for name in ("doc", "tf", "dl"):
+            o = self.offs[name]
+            out.append(decode_varints(self.bufs[name][o[i]:o[i + 1]], n))
+        doc = np.cumsum(out[0].astype(np.int64))
+        return doc, out[1].astype(np.int64), out[2].astype(np.int64)

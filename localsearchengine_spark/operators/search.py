@@ -39,21 +39,30 @@ class TermPostings:
 
     __slots__ = (
         "term", "idf", "df", "blocks", "block_max_doc", "block_bound_tfn",
-        "block_counts", "_avgdl", "_cfg", "_block_cache", "_full",
+        "block_counts", "_streams", "_avgdl", "_cfg", "_block_cache", "_full",
     )
 
-    def __init__(self, term, blocks, idf, df, avgdl, cfg):
+    def __init__(self, term, blocks, idf, df, avgdl, cfg,
+                 streams: "codec.StreamBlocks | None" = None,
+                 block_max_doc: np.ndarray | None = None,
+                 block_bound_tfn: np.ndarray | None = None):
         self.term = term
-        self.blocks = blocks  # raw dicts: n, max_doc_id, tf_norm_max, *_bytes
+        self.blocks = blocks  # raw dicts (legacy layout; None with streams)
         self.idf = float(idf)
         self.df = int(df)
-        self.block_max_doc = np.asarray(
-            [b["max_doc_id"] for b in blocks], dtype=np.int64
-        )
-        self.block_bound_tfn = np.asarray(
-            [b["tf_norm_max"] for b in blocks], dtype=np.float64
-        )
-        self.block_counts = np.asarray([b["n"] for b in blocks], dtype=np.int64)
+        self._streams = streams
+        if streams is not None:
+            self.block_max_doc = block_max_doc
+            self.block_bound_tfn = block_bound_tfn
+            self.block_counts = streams.counts
+        else:
+            self.block_max_doc = np.asarray(
+                [b["max_doc_id"] for b in blocks], dtype=np.int64
+            )
+            self.block_bound_tfn = np.asarray(
+                [b["tf_norm_max"] for b in blocks], dtype=np.float64
+            )
+            self.block_counts = np.asarray([b["n"] for b in blocks], dtype=np.int64)
         self._avgdl = float(avgdl)
         self._cfg = cfg
         self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -61,20 +70,26 @@ class TermPostings:
 
     @property
     def n_blocks(self) -> int:
-        return len(self.blocks)
+        return len(self.block_counts)
 
     def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         """→ (doc_ids, tf_norm) of block ``i`` (cached)."""
         hit = self._block_cache.get(i)
         if hit is None:
-            ids, tfs, dls = codec.decode_blocks([self.blocks[i]])
+            if self._streams is not None:
+                ids, tfs, dls = self._streams.decode_block(i)
+            else:
+                ids, tfs, dls = codec.decode_blocks([self.blocks[i]])
             hit = (ids, tf_norm_np(tfs, dls, self._avgdl, self._cfg))
             self._block_cache[i] = hit
         return hit
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         if self._full is None:
-            ids, tfs, dls = codec.decode_blocks(self.blocks)
+            if self._streams is not None:
+                ids, tfs, dls = self._streams.decode_all()
+            else:
+                ids, tfs, dls = codec.decode_blocks(self.blocks)
             self._full = (ids, tf_norm_np(tfs, dls, self._avgdl, self._cfg))
         return self._full
 
@@ -109,13 +124,27 @@ class Index:
         self.avgdl = float(meta["avgdl"])
         self.meta = meta
         self._cache: dict[str, TermPostings | None] = {}
+        self._datasets: dict[str, object] = {}
+
+    def _dataset(self, sub: str):
+        """Cached pyarrow dataset handle — opening a dataset re-reads every
+        fragment's footer metadata; interactive queries shouldn't pay that
+        per fetch."""
+        ds_obj = self._datasets.get(sub)
+        if ds_obj is None:
+            import pyarrow.dataset as ds
+
+            ds_obj = ds.dataset(os.path.join(self.index_dir, sub), format="parquet")
+            self._datasets[sub] = ds_obj
+        return ds_obj
 
     # ---- A14: dictionary lookup -------------------------------------------
     def lookup(self, terms: list[str]) -> dict[str, dict]:
         import pyarrow.dataset as ds
 
-        data = ds.dataset(os.path.join(self.index_dir, "dictionary"), format="parquet")
-        tbl = data.to_table(filter=ds.field("term").isin(list(set(terms))))
+        tbl = self._dataset("dictionary").to_table(
+            filter=ds.field("term").isin(list(set(terms)))
+        )
         return {r["term"]: r for r in tbl.to_pylist()}
 
     # ---- A15: posting fetch + decode --------------------------------------
@@ -129,29 +158,63 @@ class Index:
         terms = sorted(set(terms))
         need = [t for t in terms if t not in self._cache]
         if need:
-            data = ds.dataset(os.path.join(self.index_dir, "postings"), format="parquet")
-            tbl = data.to_table(
+            tbl = self._dataset("postings").to_table(
                 columns=["term", "salt", "df", "blocks"],
                 filter=ds.field("term").isin(need),
-            )
-            by_term: dict[str, list] = {}
-            for r in tbl.to_pylist():
-                by_term.setdefault(r["term"], []).append(r)
+            ).combine_chunks()
+            # arrow-native unpack: per-block metadata to numpy, byte streams
+            # kept as contiguous buffers — no Python dict per block
+            term_col = tbl["term"].to_pylist()
+            salt_col = tbl["salt"].to_numpy()
+            df_col = tbl["df"].to_numpy()
+            la = tbl["blocks"].combine_chunks()
+            row_off = la.offsets.to_numpy()
+            flat = la.values
+            n_all = flat.field("n").to_numpy().astype(np.int64)
+            md_all = flat.field("max_doc_id").to_numpy()
+            tfn_all = flat.field("tf_norm_max").to_numpy()
+            stream_raw = {}
+            for name in ("doc", "tf", "dl"):
+                ba = flat.field(f"{name}_bytes")
+                boffs = np.frombuffer(ba.buffers()[1], dtype=np.int32)[
+                    ba.offset : ba.offset + len(ba) + 1
+                ].astype(np.int64)
+                bdata = ba.buffers()[2]
+                stream_raw[name] = (boffs, bdata)
+            rows_by_term: dict[str, list[int]] = {}
+            for r, t in enumerate(term_col):
+                rows_by_term.setdefault(t, []).append(r)
             for t in need:
-                trs = by_term.get(t)
-                if not trs:
+                rows = rows_by_term.get(t)
+                if not rows:
                     self._cache[t] = None
                     continue
-                trs.sort(key=lambda r: r["salt"])  # salt buckets are doc_id ranges
-                blocks = [b for r in trs for b in r["blocks"]]
-                df_total = int(sum(r["df"] for r in trs))
+                rows.sort(key=lambda r: int(salt_col[r]))  # salt = doc_id range order
+                blk_idx = np.concatenate(
+                    [np.arange(row_off[r], row_off[r + 1]) for r in rows]
+                )
+                counts = n_all[blk_idx]
+                bufs, offs = {}, {}
+                for name, (boffs, bdata) in stream_raw.items():
+                    segs = [bytes(bdata[boffs[row_off[r]] : boffs[row_off[r + 1]]])
+                            for r in rows]
+                    bufs[name] = b"".join(segs)
+                    lens = boffs[blk_idx + 1] - boffs[blk_idx]
+                    o = np.empty(len(blk_idx) + 1, dtype=np.int64)
+                    o[0] = 0
+                    np.cumsum(lens, out=o[1:])
+                    offs[name] = o
+                df_total = int(df_col[np.asarray(rows)].sum())
                 self._cache[t] = TermPostings(
                     term=t,
-                    blocks=blocks,
+                    blocks=None,
                     idf=self.cfg.idf(df_total, self.n_docs),
                     df=df_total,
                     avgdl=self.avgdl,
                     cfg=self.cfg,
+                    streams=codec.StreamBlocks(counts, bufs, offs),
+                    block_max_doc=md_all[blk_idx],
+                    block_bound_tfn=tfn_all[blk_idx],
                 )
         return {t: self._cache[t] for t in terms if self._cache.get(t) is not None}
 
