@@ -30,6 +30,17 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
+# All bench I/O (shuffle spill, fixture corpora, built indexes) goes to
+# tmpfs when available: a real cluster gives every executor its own local
+# disks, and on this shared-disk host the spinning /tmp otherwise couples
+# the scaling measurement to co-tenant I/O load.
+_SHM = "/dev/shm/lse_bench"
+if os.path.isdir("/dev/shm"):
+    os.makedirs(_SHM, exist_ok=True)
+    BENCH_TMP = _SHM
+else:
+    BENCH_TMP = tempfile.gettempdir()
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 4× the driver's lineitem multiplier: the build must be compute-dominated
@@ -61,6 +72,7 @@ def _session(master: str, shuffle_partitions: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
+        .config("spark.local.dir", os.path.join(BENCH_TMP, "spark-local"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -68,7 +80,7 @@ def _session(master: str, shuffle_partitions: int):
 
 def _corpus_path(n_turns: int) -> str:
     """Deterministic transcripts fixture, cached across runs (seed=42)."""
-    path = os.path.join(tempfile.gettempdir(), f"lse_bench_transcripts_{n_turns}.parquet")
+    path = os.path.join(BENCH_TMP, f"lse_bench_transcripts_{n_turns}.parquet")
     if not os.path.exists(path):
         from localsearchengine_spark.sources.fixtures import (
             make_transcripts,
@@ -102,13 +114,13 @@ def _build_child(
         num_salts=16,
     )
     warm_src = _corpus_path(2_000)
-    warm_dir = tempfile.mkdtemp(prefix="lse_warm_")
+    warm_dir = tempfile.mkdtemp(prefix="lse_warm_", dir=BENCH_TMP)
     build_index(spark, warm_src, warm_dir, conf)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     best = None
     for _ in range(reps):
-        idx_dir = keep_idx or tempfile.mkdtemp(prefix="lse_bench_idx_")
+        idx_dir = keep_idx or tempfile.mkdtemp(prefix="lse_bench_idx_", dir=BENCH_TMP)
         if os.path.isdir(idx_dir) and os.listdir(idx_dir):
             shutil.rmtree(idx_dir)
             os.makedirs(idx_dir)
@@ -136,7 +148,7 @@ def main() -> None:
     # builds the index the query benchmarks run against.
     n_cores, n4_cores = 2, 8
 
-    idx_dir = os.path.join(tempfile.gettempdir(), f"lse_bench_index_{n_turns}")
+    idx_dir = os.path.join(BENCH_TMP, f"lse_bench_index_{n_turns}")
     env = dict(os.environ)
     builds: dict[str, float] = {}
     for master, bsrc, bn, keep, reps in (

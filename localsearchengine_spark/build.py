@@ -90,6 +90,8 @@ def _tune_split_conf(spark: SparkSession, docs_dir: str) -> dict[str, str]:
     saved = {k: spark.conf.get(k) for k in keys}
     par = spark.sparkContext.defaultParallelism
     total = _dir_bytes(docs_dir)
+    if total == 0:  # non-filesystem source (e.g. iceberg:) — leave defaults
+        return saved
     target = min(128 * 1024 * 1024, max(1024 * 1024, total // (par * 2)))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     spark.conf.set("spark.sql.files.openCostInBytes", str(max(65536, target // 8)))
@@ -170,10 +172,39 @@ def build_index(
         P = int(meta["num_partitions"])  # resume must reuse the pinned P
     report.num_partitions = P
 
-    # ---- stage: docs (A2) — pure JVM write ---------------------------------
+    # ---- stages: docs write (A2, JVM) ∥ stats+hot scan (A5+A7, Python) -----
+    # Both depend only on the source, so on a fresh build they run as
+    # concurrent Spark jobs in one context (FIFO scheduler interleaves the
+    # stages): the wall time is max() of the two instead of their sum.
+    # The stats pass reads only the text column either way.
+    do_docs = not os.path.exists(_docs_complete_marker(index_dir))
+    do_stats = "hot_salts" not in meta or "n_docs" not in meta
+    stats_result: dict = {}
     t0 = time.time()
-    if not os.path.exists(_docs_complete_marker(index_dir)):
+    if do_docs and do_stats:
+        saved = _tune_split_conf(spark, source)
+        try:
+            src_text = scan_transcripts(spark, source).select("text")
+
+            def _stats_job():
+                try:
+                    stats_result["v"] = P_mod.stats_hot_scan(src_text, conf)
+                except BaseException as e:  # surfaced after join
+                    stats_result["err"] = e
+
+            import threading
+
+            th = threading.Thread(target=_stats_job, daemon=True)
+            th.start()
+            _write_docstore(spark, source, index_dir, conf, doc_id_base, num_partitions=P)
+            th.join()
+        finally:
+            _restore_conf(spark, saved)
+        if "err" in stats_result:
+            raise stats_result["err"]
+    elif do_docs:
         _write_docstore(spark, source, index_dir, conf, doc_id_base, num_partitions=P)
+    if do_docs:
         meta["num_partitions"] = P
         atomic_write_json(meta_p, meta)
         atomic_write_json(_docs_complete_marker(index_dir), {"build_id": build_id})
@@ -183,10 +214,10 @@ def build_index(
     try:
         docs = spark.read.parquet(os.path.join(index_dir, "docs"))
 
-        # ---- stage: fused corpus stats + hot-term scan (A5 + A7 pass 1) -------
+        # ---- corpus stats + hot-term scan (resume path runs it here) -------
         t0 = time.time()
-        if "hot_salts" not in meta or "n_docs" not in meta:
-            n, tok, hot = P_mod.stats_hot_scan(docs, conf)
+        if do_stats:
+            n, tok, hot = stats_result.get("v") or P_mod.stats_hot_scan(docs, conf)
             meta.update(
                 {
                     "n_docs": n,

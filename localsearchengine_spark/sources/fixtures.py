@@ -107,7 +107,14 @@ def write_transcripts_parquet(pdf: pd.DataFrame, path: str) -> None:
             pa.field("ts", pa.timestamp("us")),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    # small row groups: a parquet file is only splittable at row-group
+    # boundaries, so a single-group file caps every downstream scan at
+    # parallelism 1 regardless of spark.sql.files.maxPartitionBytes
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        path,
+        row_group_size=32768,
+    )
 
 
 def golden_queries(seed: int = SEED, k: int = 10) -> list[dict]:
