@@ -70,6 +70,7 @@ class BuildConfig:
     num_partitions: int = 0        # 0 → spark.sql.shuffle.partitions
     hot_df_threshold: int = 50_000  # df above which a term is salted (A7)
     num_salts: int = 16            # salt buckets for hot terms (A7)
+    store_positions: bool = False  # positional postings (phrase queries)
     num_lineage_groups: int = 8    # per-partition lineage groups (A11)
 
     def to_json(self) -> str:
@@ -79,5 +80,11 @@ class BuildConfig:
     @staticmethod
     def from_json(s: str) -> "BuildConfig":
         d = json.loads(s)
-        bm = BM25Config(**d.pop("bm25"))
-        return BuildConfig(bm25=bm, **d)
+        bm_d = d.pop("bm25")
+        # tolerate configs written by a newer version (unknown keys dropped)
+        bm_known = {f.name for f in BM25Config.__dataclass_fields__.values()}
+        known = {f.name for f in BuildConfig.__dataclass_fields__.values()}
+        bm = BM25Config(**{k: v for k, v in bm_d.items() if k in bm_known})
+        return BuildConfig(
+            bm25=bm, **{k: v for k, v in d.items() if k in known}
+        )

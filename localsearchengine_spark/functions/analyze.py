@@ -56,7 +56,9 @@ _EMPTY_TFF = {
 }
 
 
-def term_freq_frame(texts: pd.Series, cfg: BM25Config | None = None) -> pd.DataFrame:
+def term_freq_frame(
+    texts: pd.Series, cfg: BM25Config | None = None, with_positions: bool = False
+) -> pd.DataFrame:
     """Batch kernel: texts → long-form ``(row, term, tf, dl)``.
 
     ``row`` is the positional index into ``texts`` (0..len-1); ``dl`` is the
@@ -71,7 +73,7 @@ def term_freq_frame(texts: pd.Series, cfg: BM25Config | None = None) -> pd.DataF
     cfg = cfg or BM25Config()
     sep = separator_pattern(cfg)
     if sep is None:
-        return _term_freq_frame_pandas(texts, cfg)
+        return _term_freq_frame_pandas(texts, cfg, with_positions)
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -105,7 +107,7 @@ def term_freq_frame(texts: pd.Series, cfg: BM25Config | None = None) -> pd.DataF
     tf = np.diff(np.append(starts, len(sk)))
     u = sk[starts]
     out_row = u // V
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "row": out_row,
             "term": uniq[(u % V).astype(np.int64)],
@@ -113,9 +115,18 @@ def term_freq_frame(texts: pd.Series, cfg: BM25Config | None = None) -> pd.DataF
             "dl": dl[out_row],
         }
     )
+    if with_positions:
+        # within-row token index; the stable key sort keeps each pair's
+        # occurrences in original (ascending-position) order
+        row_starts = np.cumsum(dl) - dl
+        pos_in_row = np.arange(len(rows), dtype=np.int64) - row_starts[rows]
+        out["pos"] = np.split(pos_in_row[order], starts[1:])
+    return out
 
 
-def _term_freq_frame_pandas(texts: pd.Series, cfg: BM25Config) -> pd.DataFrame:
+def _term_freq_frame_pandas(
+    texts: pd.Series, cfg: BM25Config, with_positions: bool = False
+) -> pd.DataFrame:
     """findall reference path (arbitrary token patterns)."""
     toks = tokenize_pandas(texts.reset_index(drop=True), cfg)
     lens = toks.str.len().to_numpy(dtype=np.int64)
@@ -131,6 +142,13 @@ def _term_freq_frame_pandas(texts: pd.Series, cfg: BM25Config) -> pd.DataFrame:
     )
     counts["dl"] = lens[counts["row"].to_numpy()]
     counts["tf"] = counts["tf"].astype(np.int64)
+    if with_positions:
+        row_starts = np.cumsum(lens) - lens
+        pos_in_row = np.arange(len(rows), dtype=np.int64) - row_starts[rows]
+        df = pd.DataFrame({"row": rows, "term": flat, "pos": pos_in_row})
+        df = df.sort_values(["row", "term", "pos"], kind="mergesort")
+        tf_cum = np.concatenate(([0], np.cumsum(counts["tf"].to_numpy())))
+        counts["pos"] = np.split(df["pos"].to_numpy(), tf_cum[1:-1])
     return counts
 
 

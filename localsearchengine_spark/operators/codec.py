@@ -86,6 +86,9 @@ class Block(NamedTuple):
     doc_bytes: bytes
     tf_bytes: bytes
     dl_bytes: bytes
+    # varints of within-document token positions, ascending, concatenated
+    # per posting (tf positions each); b"" when the index stores none
+    pos_bytes: bytes = b""
 
 
 def encode_blocks(
@@ -97,8 +100,13 @@ def encode_blocks(
     k1: float,
     b: float,
     avgdl: float,
+    positions: np.ndarray | None = None,
 ) -> list[Block]:
-    """Sorted (strictly increasing) doc_ids + parallel tf/dl → blocks."""
+    """Sorted (strictly increasing) doc_ids + parallel tf/dl → blocks.
+
+    ``positions`` (optional): flat ascending within-doc token positions,
+    concatenated per posting — posting i owns positions[Σtf[:i] : Σtf[:i+1]].
+    """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
@@ -110,11 +118,19 @@ def encode_blocks(
     deltas[1:] = np.diff(doc_ids).astype(np.uint64)
     tf_f = tfs.astype(np.float64)
     tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+    tf_cum = np.concatenate(([0], np.cumsum(tfs)))
     blocks: list[Block] = []
     for start in range(0, n, block_size):
         end = min(start + block_size, n)
         d = deltas[start:end].copy()
         d[0] = np.uint64(doc_ids[start])  # block-local absolute first doc_id
+        pos_b = b""
+        if positions is not None:
+            pos_b = encode_varints(
+                np.ascontiguousarray(
+                    positions[tf_cum[start]:tf_cum[end]], dtype=np.uint64
+                )
+            )
         blocks.append(
             Block(
                 n=end - start,
@@ -125,6 +141,7 @@ def encode_blocks(
                 doc_bytes=encode_varints(d),
                 tf_bytes=encode_varints(tfs[start:end].astype(np.uint64)),
                 dl_bytes=encode_varints(dls[start:end].astype(np.uint64)),
+                pos_bytes=pos_b,
             )
         )
     return blocks
@@ -206,3 +223,11 @@ class StreamBlocks:
             out.append(decode_varints(self.bufs[name][o[i]:o[i + 1]], n))
         doc = np.cumsum(out[0].astype(np.int64))
         return doc, out[1].astype(np.int64), out[2].astype(np.int64)
+
+
+def decode_block_positions(pos_bytes: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """pos_bytes of one block + its per-posting tf array → per-posting
+    ascending position arrays."""
+    total = int(tfs.sum())
+    flat = decode_varints(bytes(pos_bytes), total).astype(np.int64)
+    return np.split(flat, np.cumsum(tfs)[:-1])

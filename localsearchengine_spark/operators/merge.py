@@ -151,6 +151,7 @@ def _merge_ordered(posts: DataFrame, k1: float, b: float, avgdl: float) -> DataF
             blk["doc_bytes"].alias("doc_bytes"),
             blk["tf_bytes"].alias("tf_bytes"),
             blk["dl_bytes"].alias("dl_bytes"),
+            blk["pos_bytes"].alias("pos_bytes"),
         ),
     )
     w = Window.partitionBy("term").orderBy("seg", "salt")
@@ -174,6 +175,13 @@ def _merge_interleaved(posts: DataFrame, conf: BuildConfig, avgdl: float) -> Dat
 
     def merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
+        for bl in pdf["blocks"]:
+            for blk in bl:
+                if blk["pos_bytes"]:
+                    raise NotImplementedError(
+                        "interleaved merge of positional postings not supported; "
+                        "keep appends range-ordered (the builders always do)"
+                    )
         parts = [
             codec.decode_blocks(list(bl))
             for bl in pdf.sort_values(["seg", "salt"])["blocks"]
@@ -205,7 +213,8 @@ def _merge_interleaved(posts: DataFrame, conf: BuildConfig, avgdl: float) -> Dat
     schema = (
         "term string, salt int, df long, cf long, max_tf_norm double, n_blocks long, "
         "blocks array<struct<n:int,max_doc_id:long,tf_norm_max:double,"
-        "max_tf:long,min_dl:long,doc_bytes:binary,tf_bytes:binary,dl_bytes:binary>>"
+        "max_tf:long,min_dl:long,doc_bytes:binary,tf_bytes:binary,dl_bytes:binary,"
+        "pos_bytes:binary>>"
     )
     # groupBy+applyInPandas loads one term's rows per call — memory bounded
     # by the largest single term across segments (acceptable fallback; the

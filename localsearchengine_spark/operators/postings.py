@@ -48,6 +48,7 @@ from localsearchengine_spark.operators import codec
 from localsearchengine_spark.utils import atomic_write_json
 
 EMIT_SCHEMA = "term string, salt int, doc_id long, tf long, dl long"
+EMIT_SCHEMA_POS = EMIT_SCHEMA + ", pos array<long>"
 
 def postings_arrow_schema():
     import pyarrow as pa
@@ -62,6 +63,7 @@ def postings_arrow_schema():
             pa.field("doc_bytes", pa.binary()),
             pa.field("tf_bytes", pa.binary()),
             pa.field("dl_bytes", pa.binary()),
+            pa.field("pos_bytes", pa.binary()),
         ]
     )
     return pa.schema(
@@ -156,12 +158,14 @@ def emit_postings(
     n_total = int(n_total)
     base = int(doc_id_base)
 
+    with_pos = bool(conf.store_positions)
+
     def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hot = hot_bc.value
         for pdf in it:
             if pdf.empty:
                 continue
-            tff = term_freq_frame(pdf["text"], cfg)
+            tff = term_freq_frame(pdf["text"], cfg, with_positions=with_pos)
             if tff.empty:
                 continue
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[tff["row"].to_numpy()]
@@ -174,17 +178,20 @@ def emit_postings(
                 m = s_t > 1
                 if m.any():
                     salts[m] = ((doc_ids[m] - base) * s_t[m] // n_total).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "term": terms,
-                    "salt": salts,
-                    "doc_id": doc_ids,
-                    "tf": tff["tf"].to_numpy(dtype=np.int64),
-                    "dl": tff["dl"].to_numpy(dtype=np.int64),
-                }
-            )
+            out = {
+                "term": terms,
+                "salt": salts,
+                "doc_id": doc_ids,
+                "tf": tff["tf"].to_numpy(dtype=np.int64),
+                "dl": tff["dl"].to_numpy(dtype=np.int64),
+            }
+            if with_pos:
+                out["pos"] = [list(map(int, a)) for a in tff["pos"]]
+            yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "text").mapInPandas(emit, schema=EMIT_SCHEMA)
+    return docs.select("doc_id", "text").mapInPandas(
+        emit, schema=EMIT_SCHEMA_POS if with_pos else EMIT_SCHEMA
+    )
 
 
 def build_posting_partitions(
@@ -237,6 +244,7 @@ def build_posting_partitions(
         cur_docs: list[np.ndarray] = []
         cur_tfs: list[np.ndarray] = []
         cur_dls: list[np.ndarray] = []
+        cur_pos: list[np.ndarray] = []
 
         def flush_rows(force: bool = False):
             nonlocal rows_buf, writer
@@ -246,14 +254,16 @@ def build_posting_partitions(
             rows_buf = []
 
         def end_run():
-            nonlocal cur_key, cur_docs, cur_tfs, cur_dls, n_rows, top
+            nonlocal cur_key, cur_docs, cur_tfs, cur_dls, cur_pos, n_rows, top
             if cur_key is None:
                 return
             d = np.concatenate(cur_docs)
             t = np.concatenate(cur_tfs)
             L = np.concatenate(cur_dls)
+            pos = np.concatenate(cur_pos) if cur_pos else None
             blocks = codec.encode_blocks(
-                d, t, L, block_size=block_size, k1=k1, b=b, avgdl=avgdl
+                d, t, L, block_size=block_size, k1=k1, b=b, avgdl=avgdl,
+                positions=pos,
             )
             rows_buf.append(
                 {
@@ -271,7 +281,7 @@ def build_posting_partitions(
             if len(top) > 64:
                 top.sort(reverse=True)
                 del top[8:]
-            cur_key, cur_docs, cur_tfs, cur_dls = None, [], [], []
+            cur_key, cur_docs, cur_tfs, cur_dls, cur_pos = None, [], [], [], []
             flush_rows()
 
         for pdf in it:
@@ -289,6 +299,7 @@ def build_posting_partitions(
             docs_a = pdf["doc_id"].to_numpy(dtype=np.int64)
             tfs_a = pdf["tf"].to_numpy(dtype=np.int64)
             dls_a = pdf["dl"].to_numpy(dtype=np.int64)
+            pos_col = pdf["pos"] if "pos" in pdf.columns else None
             n_postings += len(pdf)
             # boundaries of (term, salt) runs within this batch
             change = np.empty(len(pdf), dtype=bool)
@@ -305,6 +316,12 @@ def build_posting_partitions(
                 cur_docs.append(docs_a[s:e])
                 cur_tfs.append(tfs_a[s:e])
                 cur_dls.append(dls_a[s:e])
+                if pos_col is not None:
+                    seg = pos_col.iloc[s:e]
+                    cur_pos.append(
+                        np.concatenate([np.asarray(v, dtype=np.int64) for v in seg])
+                        if len(seg) else np.empty(0, dtype=np.int64)
+                    )
         end_run()
         if writer is not None:
             flush_rows(force=True)

@@ -105,8 +105,32 @@ class TermPostings:
     @property
     def max_score(self) -> float:
         return float(
-            self.idf * (self.block_bound_tfn.max() if len(self.blocks) else 0.0)
+            self.idf * (self.block_bound_tfn.max() if self.n_blocks else 0.0)
         )
+
+    def positions_for(self, ids: np.ndarray) -> dict[int, np.ndarray]:
+        """docID → ascending within-doc positions, decoding only the blocks
+        the requested docs fall into.  Requires a positional index."""
+        out: dict[int, np.ndarray] = {}
+        if len(ids) == 0 or self.n_blocks == 0:
+            return out
+        bi = np.searchsorted(self.block_max_doc, ids, side="left")
+        inside = bi < self.n_blocks
+        for b in np.unique(bi[inside]):
+            sel_ids = ids[inside & (bi == b)]
+            if self._streams is not None:
+                bids, btfs, _ = self._streams.decode_block(int(b))
+                o = self._streams.offs["pos"]
+                raw = self._streams.bufs["pos"][o[b]:o[b + 1]]
+            else:
+                bids, btfs, _ = codec.decode_blocks([self.blocks[int(b)]])
+                raw = self.blocks[int(b)].get("pos_bytes", b"")
+            plist = codec.decode_block_positions(raw, btfs)
+            pos_idx = np.searchsorted(bids, sel_ids)
+            for j, did in zip(pos_idx, sel_ids):
+                if j < len(bids) and bids[j] == did:
+                    out[int(did)] = plist[j]
+        return out
 
 
 class Index:
@@ -174,7 +198,10 @@ class Index:
             md_all = flat.field("max_doc_id").to_numpy()
             tfn_all = flat.field("tf_norm_max").to_numpy()
             stream_raw = {}
-            for name in ("doc", "tf", "dl"):
+            names = ("doc", "tf", "dl") + (
+                ("pos",) if self.conf.store_positions else ()
+            )
+            for name in names:
                 ba = flat.field(f"{name}_bytes")
                 boffs = np.frombuffer(ba.buffers()[1], dtype=np.int32)[
                     ba.offset : ba.offset + len(ba) + 1
@@ -226,8 +253,19 @@ class Index:
                       default per BASELINE.json:6 "posting-list intersection"
         mode="or"   — exhaustive disjunctive BM25 (A18)
         mode="wand" — block-max WAND (A17); exact same top-k as "or"
+
+        String queries support a minimal query language:
+        ``"an exact phrase"`` (requires a positional index,
+        BuildConfig.store_positions=True) and ``-excluded`` terms; both
+        compose with bare terms, which keep the mode's semantics.
         """
-        terms = tokenize_text(query, self.cfg) if isinstance(query, str) else list(query)
+        if isinstance(query, str):
+            bare, phrases, excluded = parse_query(query, self.cfg)
+            if phrases or excluded:
+                return self._structured_search(bare, phrases, excluded, k, mode)
+            terms = bare
+        else:
+            terms = list(query)
         terms = sorted(set(terms))
         post = self.fetch_postings(terms)
         missing = [t for t in terms if t not in post]
@@ -243,6 +281,90 @@ class Index:
         if mode == "wand":
             return wand_topk(plists, k, self.cfg)
         raise ValueError(f"unknown mode: {mode}")
+
+    def _structured_search(self, bare, phrases, excluded, k, mode):
+        """Phrases AND bare terms (conjunctive across groups), minus
+        exclusions; scored by BM25 over all positive terms (sorted term
+        order), ties by doc_id."""
+        from localsearchengine_spark.operators.wand import _contrib_at
+
+        if phrases and not self.conf.store_positions:
+            raise ValueError(
+                "phrase query on an index built without positions "
+                "(BuildConfig.store_positions=True)"
+            )
+        positive = sorted({t for ph in phrases for t in ph} | set(bare))
+        if not positive:
+            return []
+        post = self.fetch_postings(positive)
+        if len(post) < len(positive):
+            return []  # a required term is absent from the corpus
+        plists = [post[t] for t in positive]
+        # conjunctive candidate set, rarest first (block-skipping probes)
+        order = sorted(plists, key=lambda p: p.df)
+        ids = order[0].doc_ids
+        for p in order[1:]:
+            if len(ids) == 0:
+                return []
+            ids = ids[_contrib_at(p, ids) > 0.0]
+        # phrase adjacency via positional postings
+        for ph in phrases:
+            if len(ids) == 0:
+                return []
+            maps = [post[t].positions_for(ids) for t in ph]
+            keep = np.zeros(len(ids), dtype=bool)
+            for i, did in enumerate(ids):
+                inter = maps[0].get(int(did))
+                if inter is None:
+                    continue
+                ok = True
+                for j in range(1, len(ph)):
+                    nxt = maps[j].get(int(did))
+                    if nxt is None:
+                        ok = False
+                        break
+                    inter = inter[np.isin(inter + j, nxt)]
+                    if len(inter) == 0:
+                        ok = False
+                        break
+                keep[i] = ok
+            ids = ids[keep]
+        # exclusions
+        if excluded and len(ids):
+            ex_post = self.fetch_postings(sorted(set(excluded)))
+            for p in ex_post.values():
+                mask = ~np.isin(ids, p.doc_ids)
+                ids = ids[mask]
+        if len(ids) == 0:
+            return []
+        scores = np.zeros(len(ids), dtype=np.float64)
+        for p in plists:  # sorted term order — fixed summation order
+            scores += p.idf * (self.cfg.k1 + 1.0) * _contrib_at(p, ids)
+        return _topk(ids, scores, k)
+
+
+def parse_query(q: str, cfg: BM25Config):
+    """Minimal query language: quoted phrases, ``-term`` exclusions, bare
+    terms.  All text goes through the index analyzer (A13)."""
+    import re as _re
+
+    phrases: list[list[str]] = []
+
+    def grab(m):
+        toks = tokenize_text(m.group(1), cfg)
+        if toks:
+            phrases.append(toks)
+        return " "
+
+    rest = _re.sub(r'"([^"]*)"', grab, q)
+    bare: list[str] = []
+    excluded: list[str] = []
+    for w in rest.split():
+        if w.startswith("-") and len(w) > 1:
+            excluded.extend(tokenize_text(w[1:], cfg))
+        else:
+            bare.extend(tokenize_text(w, cfg))
+    return sorted(set(bare)), phrases, sorted(set(excluded))
 
 
 def _score_at(plists, ids: np.ndarray, cfg: BM25Config) -> np.ndarray:

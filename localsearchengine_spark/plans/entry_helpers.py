@@ -31,22 +31,28 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INDEX_CACHE: dict[str, str] = {}
+_INDEX_CACHE: dict[tuple[str, bool], str] = {}
 
 
-def ensure_documents_index(spark: SparkSession, sf_dir: str) -> str:
+def ensure_documents_index(
+    spark: SparkSession, sf_dir: str, positions: bool = False
+) -> str:
     """Build (once per process) an index over the sf_dir documents corpus.
 
     With documents mapped to conv_id "doc%012d" and turn_idx 0, the engine's
     dense deterministic doc_id equals the source ``doc_id`` — asserted here.
+    ``positions=True`` builds a separate positional index (phrase queries).
     """
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), positions)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     src = tempfile.mkdtemp(prefix="lse_corpus_")
     documents_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
     idx_dir = tempfile.mkdtemp(prefix="lse_index_")
-    conf = BuildConfig(num_partitions=8, hot_df_threshold=2000, block_size=128)
+    conf = BuildConfig(
+        num_partitions=8, hot_df_threshold=2000, block_size=128,
+        store_positions=positions,
+    )
     build_index(spark, src, idx_dir, conf)
     _INDEX_CACHE[key] = idx_dir
     return idx_dir

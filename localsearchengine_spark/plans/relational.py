@@ -577,6 +577,58 @@ def fts03(spark, sf_dir):
     return _engine_search(spark, sf_dir, _FTS3_TERMS, 20, "and")
 
 
+# phrase query through the positional index: adjacency-verified candidates,
+# BM25-scored over the member terms.  Oracle = same semantics in pure SQL
+# (token list adjacency via list_filter over ordinals).
+_FTS4_PHRASE = ["spark", "join"]
+
+
+def _phrase_sql(phrase: list[str], k: int) -> str:
+    cfg = BM25Config()
+    idf = cfg.idf_sql("df.df", "stats.n")
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(phrase)))
+    adj = " AND ".join(
+        f"tk[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    return f"""
+WITH toklist AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS tk
+  FROM documents
+),
+cand AS (
+  SELECT doc_id FROM toklist
+  WHERE len(list_filter(range(1, len(tk) - {len(phrase) - 2}), i -> {adj})) > 0
+),
+toks AS (SELECT doc_id, unnest(tk) AS term FROM toklist),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum({idf} * ({cfg.k1} + 1.0) * tf.tf
+             / (tf.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scores
+ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+@q("fts04_engine_phrase", _phrase_sql(_FTS4_PHRASE, 10))
+def fts04(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir, positions=True))
+    hits = index.search('"' + " ".join(_FTS4_PHRASE) + '"', k=10)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DD1 — exact dedup stats (hash-groupBy dedup, documents)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,97 @@
+"""Positional postings + phrase / exclusion query language (search.py,
+codec pos stream, analyze with_positions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from localsearchengine_spark.build import build_index
+from localsearchengine_spark.config import BM25Config, BuildConfig
+from localsearchengine_spark.operators.search import Index, parse_query
+from localsearchengine_spark.sources.fixtures import write_transcripts_parquet
+
+
+def test_parse_query():
+    cfg = BM25Config()
+    bare, phrases, excluded = parse_query('"Spark SQL engine" fast -slow "b c"', cfg)
+    assert bare == ["fast"]
+    assert phrases == [["spark", "sql", "engine"], ["b", "c"]]
+    assert excluded == ["slow"]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    rows = [
+        "spark sql engine runs fast",          # 0: phrase "spark sql"
+        "sql spark engine is slow",            # 1: both terms, wrong order
+        "the spark sql optimizer",             # 2: phrase
+        "spark and sql and spark sql",         # 3: phrase (at the end)
+        "engine fast slow",                    # 4
+        "spark sql spark sql spark sql",       # 5: repeated phrase
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:03d}" for i in range(len(rows))],
+            "turn_idx": np.zeros(len(rows), dtype=np.int32),
+            "role": ["user"] * len(rows),
+            "text": rows,
+            "tool": [""] * len(rows),
+            "ts": pd.Timestamp("2025-01-01"),
+        }
+    )
+    src = str(tmp_path_factory.mktemp("phrase") / "src")
+    import os
+
+    os.makedirs(src)
+    write_transcripts_parquet(pdf, src + "/t.parquet")
+    idx = str(tmp_path_factory.mktemp("phrase") / "idx")
+    build_index(
+        spark, src, idx,
+        BuildConfig(num_partitions=4, store_positions=True, block_size=4),
+    )
+    return Index(spark, idx)
+
+
+def test_phrase_match(pos_index):
+    hits = pos_index.search('"spark sql"', k=10)
+    assert [d for d, _ in hits] and {d for d, _ in hits} == {0, 2, 3, 5}
+
+
+def test_phrase_order_sensitive(pos_index):
+    # doc 1 has both terms adjacent only as "sql spark"
+    assert {d for d, _ in pos_index.search('"sql spark"', k=10)} == {1, 5}
+
+
+def test_three_term_phrase(pos_index):
+    assert {d for d, _ in pos_index.search('"spark sql engine"', k=10)} == {0}
+
+
+def test_phrase_plus_bare_and_exclusion(pos_index):
+    assert {d for d, _ in pos_index.search('"spark sql" fast', k=10)} == {0}
+    assert {d for d, _ in pos_index.search('"spark sql" -optimizer', k=10)} == {0, 3, 5}
+    assert pos_index.search('"spark sql" -spark', k=10) == []
+
+
+def test_exclusion_only_with_bare_terms(pos_index):
+    assert {d for d, _ in pos_index.search("engine -slow", k=10)} == {0}
+
+
+def test_missing_phrase_term(pos_index):
+    assert pos_index.search('"spark zzznope"', k=10) == []
+
+
+def test_phrase_scores_are_bm25_over_members(pos_index):
+    """Structured scoring must equal the AND path over the member terms for
+    docs that pass the phrase filter (same contributions, same order)."""
+    hits = dict(pos_index.search('"spark sql"', k=10))
+    plain = dict(pos_index.search(["spark", "sql"], k=10, mode="and"))
+    for d, s in hits.items():
+        assert abs(s - plain[d]) < 1e-12
+
+
+def test_phrase_on_nonpositional_index_raises(spark, built_index):
+    idx_dir, _, _ = built_index
+    with pytest.raises(ValueError, match="positions"):
+        Index(spark, idx_dir).search('"the spark"', k=5)
