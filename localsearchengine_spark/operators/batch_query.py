@@ -32,10 +32,29 @@ DECODED_SCHEMA = "term string, doc_id long, tf long, dl long"
 
 
 def decode_postings_df(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
-    """Term-filtered postings scan → decoded long form, distributed."""
+    """Term-filtered postings scan → decoded long form, distributed.
+
+    Besides the pushed term filter, the scan is pre-pruned to the partition
+    files the dictionary maps the terms to (per-file pid stats make the
+    pushed pid filter skip whole row groups; merged segments carry pid -1
+    and skip the pruning)."""
+    rows = spark.read.parquet(os.path.join(index_dir, "postings"))
+    try:
+        import pyarrow.dataset as ds
+
+        dic = ds.dataset(
+            os.path.join(index_dir, "dictionary"), format="parquet"
+        ).to_table(
+            columns=["term", "pids"],
+            filter=ds.field("term").isin(sorted(set(terms))),
+        )
+        pids = sorted({int(p) for ps in dic["pids"].to_pylist() for p in ps})
+        if pids and all(p >= 0 for p in pids):
+            rows = rows.filter(F.col("pid").isin(pids))
+    except Exception:
+        pass  # older index without pids — full scan
     rows = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .filter(F.col("term").isin(sorted(set(terms))))
+        rows.filter(F.col("term").isin(sorted(set(terms))))
         .select("term", "blocks")
     )
 

@@ -164,6 +164,9 @@ def _merge_ordered(posts: DataFrame, k1: float, b: float, avgdl: float) -> DataF
             "max_tf_norm"
         ),
         F.size(new_blocks).cast("long").alias("n_blocks"),
+        # merged files do not follow the hash(term,salt) layout; the sentinel
+        # makes query-time partition pruning fall back to the full scan
+        F.lit(-1).cast("int").alias("pid"),
         new_blocks.alias("blocks"),
     )
 
@@ -205,6 +208,7 @@ def _merge_interleaved(posts: DataFrame, conf: BuildConfig, avgdl: float) -> Dat
                     "cf": int(t.sum()),
                     "max_tf_norm": max(blk.tf_norm_max for blk in blocks),
                     "n_blocks": len(blocks),
+                    "pid": -1,
                     "blocks": [blk._asdict() for blk in blocks],
                 }
             ]
@@ -212,6 +216,7 @@ def _merge_interleaved(posts: DataFrame, conf: BuildConfig, avgdl: float) -> Dat
 
     schema = (
         "term string, salt int, df long, cf long, max_tf_norm double, n_blocks long, "
+        "pid int, "
         "blocks array<struct<n:int,max_doc_id:long,tf_norm_max:double,"
         "max_tf:long,min_dl:long,doc_bytes:binary,tf_bytes:binary,dl_bytes:binary,"
         "pos_bytes:binary>>"
