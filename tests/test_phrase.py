@@ -95,3 +95,33 @@ def test_phrase_on_nonpositional_index_raises(spark, built_index):
     idx_dir, _, _ = built_index
     with pytest.raises(ValueError, match="positions"):
         Index(spark, idx_dir).search('"the spark"', k=5)
+
+
+def test_phrase_on_salted_positional_index(spark, tmp_path):
+    """Positions must survive hot-term salting: the phrase path reads the
+    pos stream through the multi-salt-row reassembly in fetch_postings."""
+    from localsearchengine_spark.sources.fixtures import make_transcripts
+
+    pdf = make_transcripts(2000)
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    write_transcripts_parquet(pdf, src + "/t.parquet")
+    idx = str(tmp_path / "idx")
+    rep = build_index(
+        spark, src, idx,
+        BuildConfig(num_partitions=8, hot_df_threshold=150, store_positions=True),
+    )
+    assert rep.hot_terms > 0  # 'the'/'spark'... are salted
+    ix = Index(spark, idx)
+    # oracle: scan the fixture for adjacent "the spark"
+    texts = pdf["text"].tolist()
+    expected = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if any(a == "the" and b == "spark" for a, b in zip(toks, toks[1:])):
+            expected.add(i)
+    assert expected, "fixture must contain the phrase"
+    got = {d for d, _ in ix.search('"the spark"', k=len(expected) + 10)}
+    assert got == expected
