@@ -302,11 +302,6 @@ class Index:
         if mode == "or":
             return _or_topk(plists, k, self.cfg)
         if mode == "wand":
-            # block-max bounds are upper bounds only for non-negative term
-            # contributions; classic RSJ idf goes negative for df > N/2
-            # (scale·tfn_max would then be a LOWER bound) → exhaustive
-            if any(p.idf < 0.0 for p in plists):
-                return _or_topk(plists, k, self.cfg)
             return wand_topk(plists, k, self.cfg)
         raise ValueError(f"unknown mode: {mode}")
 

@@ -32,6 +32,12 @@ bound ≤ θ − ε < θ ≤ the final k-th score, so it can never displace a
 top-k member even under score ties (ties break by doc_id, and only docs
 *strictly below* θ are ever pruned).  ε absorbs float summation-order
 effects in the bound sums.
+
+Negative idf (classic RSJ for df > N/2) is handled exactly: such terms'
+upper bounds clamp to 0 (their contribution can only subtract), the θ
+seed is lowered by the sum of their most-negative contributions, and a
+negative-scale seed list disables its own block pruning — so the result
+is still identical to exhaustive scoring under every idf variant.
 """
 
 from __future__ import annotations
@@ -45,13 +51,18 @@ _EPS = 1e-10
 
 def _seed_theta(p, scale: float, k: int) -> float:
     """Exact k-th best score of a single posting list, best-block-first with
-    bound-based early stop.  Returns -inf when the list has < k postings."""
+    bound-based early stop.  Returns -inf when the list has < k postings.
+
+    A negative ``scale`` (negative idf) inverts the bound direction —
+    ``scale·tfn_max`` is then a lower bound — so early stopping is disabled
+    and the list is scored exhaustively (still one fused decode)."""
     bounds = scale * p.block_bound_tfn
+    can_prune = scale >= 0.0
     order = np.argsort(-bounds, kind="stable")
     top: np.ndarray = np.empty(0, dtype=np.float64)
     kth = float("-inf")
     for bi in order:
-        if len(top) >= k and bounds[bi] <= kth - _EPS:
+        if can_prune and len(top) >= k and bounds[bi] <= kth - _EPS:
             break
         _, tfn = p.decode_block(int(bi))
         merged = np.concatenate([top, scale * tfn])
@@ -100,14 +111,25 @@ def wand_topk(plists, k: int, cfg: BM25Config) -> list[tuple[int, float]]:
         return []
     n = len(terms)
     scale = np.asarray([p.idf * (cfg.k1 + 1.0) for p in terms], dtype=np.float64)
-    tmax = np.asarray(
+    raw_tmax = np.asarray(
         [scale[i] * float(terms[i].block_bound_tfn.max()) for i in range(n)],
         dtype=np.float64,
     )
+    # Negative idf (classic RSJ on df > N/2 terms) flips bound directions:
+    # clamping that term's upper bounds to 0 keeps them valid (its true
+    # contribution is ≤ 0, and 0 for absent docs) while preserving pruning
+    # for the non-negative terms.
+    tmax = np.maximum(raw_tmax, 0.0)
+    # worst case the negative terms can subtract from any document
+    neg_floor = float(raw_tmax[raw_tmax < 0.0].sum())
 
-    # 1. θ seed from the highest-impact term
+    # 1. θ seed from the highest-impact term; other (possibly negative)
+    # terms can only lower a doc's final score by ≥ neg_floor, so the
+    # seed stays a valid lower bound of the final k-th score
     t0 = int(np.argmax(tmax))
     theta = _seed_theta(terms[t0], float(scale[t0]), k)
+    if theta > float("-inf"):
+        theta += neg_floor
 
     # 2. MaxScore essential split
     non_essential: set[int] = set()
@@ -123,7 +145,7 @@ def wand_topk(plists, k: int, cfg: BM25Config) -> list[tuple[int, float]]:
         if i in non_essential:
             continue
         others = total - float(tmax[i])
-        keep = scale[i] * p.block_bound_tfn + others > theta - _EPS
+        keep = np.maximum(scale[i] * p.block_bound_tfn, 0.0) + others > theta - _EPS
         kept = np.flatnonzero(keep)
         if len(kept) > max(8, p.n_blocks // 4):
             # low selectivity: one full decode + one boolean gather beats

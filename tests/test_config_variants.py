@@ -34,7 +34,8 @@ def test_rank_identity_under_config_flips(spark, transcripts_small, tmp_path, cf
     )
     index = Index(spark, idx)
     docs = list(enumerate(pdf["text"].tolist()))
-    for q in golden_queries()[:24:2]:
+    # every 5th query: covers single-, two-, and three-term golden queries
+    for q in golden_queries()[::5]:
         for mode in ("and", "or", "wand"):
             omode = "or" if mode == "wand" else mode
             exp = oracle_search(
