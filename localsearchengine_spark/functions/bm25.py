@@ -26,6 +26,15 @@ def score_np(
     return cfg.idf(df, n_docs) * (cfg.k1 + 1.0) * tf_norm_np(tf, dl, avgdl, cfg)
 
 
+def tf_norm_column(tf: Column, dl: Column, avgdl, k1: float, b: float) -> Column:
+    """tf/(tf + k1*(1-b+b*dl/avgdl)) as a Catalyst expression — the single
+    definition shared by the exhaustive scorer, the distributed batch path,
+    and the segment-merge bound recompute."""
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    return tf / (tf + k1 * (F.lit(1.0) - b + F.lit(b) * dl / avgdl))
+
+
 def score_column(
     tf: Column, dl: Column, df: Column, n_docs: Column, avgdl: Column, cfg: BM25Config
 ) -> Column:
@@ -43,5 +52,4 @@ def score_column(
         idf = F.log(n_docs / df)
     else:
         raise ValueError(f"unknown idf_variant: {cfg.idf_variant}")
-    denom = tf + cfg.k1 * (F.lit(1.0) - cfg.b + F.lit(cfg.b) * dl / avgdl)
-    return idf * (cfg.k1 + 1.0) * tf / denom
+    return idf * (cfg.k1 + 1.0) * tf_norm_column(tf, dl, avgdl, cfg.k1, cfg.b)

@@ -142,16 +142,12 @@ def run_queries(
             )
             filtered_qids = {qid for qid, _ in rare_rows}
 
-    k1, b = cfg.k1, cfg.b
+    from localsearchengine_spark.functions.bm25 import tf_norm_column
+
     contrib = (
         F.col("idf")
-        * F.lit(k1 + 1.0)
-        * F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(k1)
-            * (F.lit(1.0) - b + F.lit(b) * F.col("dl").cast("double") / F.lit(index.avgdl))
-        )
+        * F.lit(cfg.k1 + 1.0)
+        * tf_norm_column(F.col("tf"), F.col("dl"), F.lit(index.avgdl), cfg.k1, cfg.b)
     )
     joined = decoded.join(F.broadcast(qdf), "term").select(
         "query_id", "doc_id", "n_terms", "n_present", "k", contrib.alias("contrib")

@@ -39,9 +39,9 @@ from localsearchengine_spark.operators import codec
 from localsearchengine_spark.utils import atomic_write_json, read_json
 
 def _bound_expr(max_tf, min_dl, k1: float, b: float, avgdl: float):
-    tf = max_tf.cast("double")
-    dl = min_dl.cast("double")
-    return tf / (tf + k1 * (F.lit(1.0) - b + F.lit(b) * dl / F.lit(avgdl)))
+    from localsearchengine_spark.functions.bm25 import tf_norm_column
+
+    return tf_norm_column(max_tf, min_dl, F.lit(avgdl), k1, b)
 
 
 def merge_indexes(

@@ -140,7 +140,10 @@ def stats_hot_scan(docs: DataFrame, conf: BuildConfig) -> tuple[int, int, dict[s
             n_docs, total_tokens = int(r["nd"]), int(r["tk"])
         else:
             s_t = int(np.ceil(r["df"] / conf.hot_df_threshold))
-            hot[r["term"]] = int(min(s_t, 4096))
+            # num_salts caps the per-term fan-out (bounds shuffle group
+            # count; a capped bucket may then exceed hot_df_threshold)
+            cap = conf.num_salts if conf.num_salts > 0 else 4096
+            hot[r["term"]] = int(min(s_t, cap))
     return n_docs, total_tokens, hot
 
 
@@ -187,7 +190,7 @@ def emit_postings(
                 "dl": tff["dl"].to_numpy(dtype=np.int64),
             }
             if with_pos:
-                out["pos"] = [list(map(int, a)) for a in tff["pos"]]
+                out["pos"] = list(tff["pos"])  # numpy int64 arrays; Arrow converts directly
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", "text").mapInPandas(

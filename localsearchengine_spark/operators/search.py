@@ -306,9 +306,15 @@ class Index:
         raise ValueError(f"unknown mode: {mode}")
 
     def _structured_search(self, bare, phrases, excluded, k, mode):
-        """Phrases AND bare terms (conjunctive across groups), minus
-        exclusions; scored by BM25 over all positive terms (sorted term
-        order), ties by doc_id."""
+        """Query-language semantics per mode, minus exclusions; scored by
+        BM25 over the positive terms (sorted term order), ties by doc_id.
+
+        mode="and": every bare term AND every phrase must match.
+        mode="or"/"wand": a doc matches if it contains ANY bare term or ANY
+        complete phrase (each phrase itself is still an exact adjacency
+        match).  A bare term absent from the corpus just contributes
+        nothing in or-mode but empties the result in and-mode.
+        """
         from localsearchengine_spark.operators.wand import _contrib_at
 
         if phrases and not self.conf.store_positions:
@@ -320,20 +326,17 @@ class Index:
         if not positive:
             return []
         post = self.fetch_postings(positive)
-        if len(post) < len(positive):
-            return []  # a required term is absent from the corpus
-        plists = [post[t] for t in positive]
-        # conjunctive candidate set, rarest first (block-skipping probes)
-        order = sorted(plists, key=lambda p: p.df)
-        ids = order[0].doc_ids
-        for p in order[1:]:
-            if len(ids) == 0:
-                return []
-            ids = ids[_contrib_at(p, ids) > 0.0]
-        # phrase adjacency via positional postings
-        for ph in phrases:
-            if len(ids) == 0:
-                return []
+
+        def phrase_ids(ph, cand=None):
+            """doc_ids matching phrase ``ph`` exactly (within ``cand``)."""
+            if any(t not in post for t in ph):
+                return np.empty(0, dtype=np.int64)
+            members = sorted((post[t] for t in set(ph)), key=lambda p: p.df)
+            ids = members[0].doc_ids if cand is None else cand
+            for p in members[(0 if cand is not None else 1):]:
+                if len(ids) == 0:
+                    return ids
+                ids = ids[_contrib_at(p, ids) > 0.0]
             maps = [post[t].positions_for(ids) for t in ph]
             keep = np.zeros(len(ids), dtype=bool)
             for i, did in enumerate(ids):
@@ -351,18 +354,40 @@ class Index:
                         ok = False
                         break
                 keep[i] = ok
-            ids = ids[keep]
+            return ids[keep]
+
+        if mode == "and":
+            if len(post) < len(positive):
+                return []  # a required term is absent from the corpus
+            order = sorted((post[t] for t in positive), key=lambda p: p.df)
+            ids = order[0].doc_ids
+            for p in order[1:]:
+                if len(ids) == 0:
+                    return []
+                ids = ids[_contrib_at(p, ids) > 0.0]
+            for ph in phrases:
+                ids = phrase_ids(ph, cand=ids)
+                if len(ids) == 0:
+                    return []
+        else:  # "or" / "wand": union of matching clauses
+            cand_sets = [post[t].doc_ids for t in bare if t in post]
+            cand_sets += [phrase_ids(ph) for ph in phrases]
+            cand_sets = [c for c in cand_sets if len(c)]
+            if not cand_sets:
+                return []
+            ids = np.unique(np.concatenate(cand_sets))
         # exclusions
         if excluded and len(ids):
             ex_post = self.fetch_postings(sorted(set(excluded)))
             for p in ex_post.values():
-                mask = ~np.isin(ids, p.doc_ids)
-                ids = ids[mask]
+                ids = ids[~np.isin(ids, p.doc_ids)]
         if len(ids) == 0:
             return []
         scores = np.zeros(len(ids), dtype=np.float64)
-        for p in plists:  # sorted term order — fixed summation order
-            scores += p.idf * (self.cfg.k1 + 1.0) * _contrib_at(p, ids)
+        for t in positive:  # sorted term order — fixed summation order
+            if t in post:
+                p = post[t]
+                scores += p.idf * (self.cfg.k1 + 1.0) * _contrib_at(p, ids)
         return _topk(ids, scores, k)
 
 

@@ -47,6 +47,16 @@ def ensure_documents_index(
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     src = tempfile.mkdtemp(prefix="lse_corpus_")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not (rng["lo"] == 0 and rng["hi"] == rng["n"] - 1):
+        raise ValueError(
+            "documents.doc_id must be dense 0..N-1 for engine docIDs to "
+            f"equal source doc_ids (got min={rng['lo']}, max={rng['hi']}, n={rng['n']})"
+        )
     documents_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
     idx_dir = tempfile.mkdtemp(prefix="lse_index_")
     conf = BuildConfig(

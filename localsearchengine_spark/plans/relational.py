@@ -478,7 +478,11 @@ WITH toks AS (
   FROM documents
 ),
 dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+-- N and avgdl are over ALL documents (engine semantics: a token-less doc
+-- still counts toward N and pulls avgdl down)
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                 / (SELECT count(*) FROM documents) AS avgdl),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
        WHERE term IN ({tlist}) GROUP BY doc_id, term),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
@@ -601,7 +605,11 @@ cand AS (
 ),
 toks AS (SELECT doc_id, unnest(tk) AS term FROM toklist),
 dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+-- N and avgdl are over ALL documents (engine semantics: a token-less doc
+-- still counts toward N and pulls avgdl down)
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                 / (SELECT count(*) FROM documents) AS avgdl),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
        WHERE term IN ({tlist}) GROUP BY doc_id, term),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),

@@ -443,7 +443,6 @@ def tx02(spark, sf_dir):
     )
     langs = sorted(_LANG_PROFILES)
     best = F.greatest(*[F.col(f"s_{la}") for la in langs])
-    pred = F
     expr = None
     for la in langs:
         cond = F.col(f"s_{la}") == best

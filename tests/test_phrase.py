@@ -125,3 +125,18 @@ def test_phrase_on_salted_positional_index(spark, tmp_path):
     assert expected, "fixture must contain the phrase"
     got = {d for d, _ in ix.search('"the spark"', k=len(expected) + 10)}
     assert got == expected
+
+
+def test_or_mode_structured_queries(pos_index):
+    """or/wand mode: a doc matches ANY bare term or ANY complete phrase."""
+    # "optimizer" only in doc 2; phrase "spark sql engine" only in doc 0
+    got = {d for d, _ in pos_index.search('"spark sql engine" optimizer', k=10, mode="or")}
+    assert got == {0, 2}
+    assert {d for d, _ in pos_index.search('"spark sql engine" optimizer', k=10, mode="wand")} == {0, 2}
+    # absent bare term contributes nothing in or-mode, empties and-mode
+    assert {d for d, _ in pos_index.search("optimizer zzznope", k=10, mode="or")} == {2}
+    assert pos_index.search("optimizer zzznope", k=10, mode="and") == []
+    # exclusion applies after the union
+    assert pos_index.search('"spark sql engine" optimizer -the', k=10, mode="or") == [
+        h for h in pos_index.search('"spark sql engine" optimizer', k=10, mode="or") if h[0] != 2
+    ]

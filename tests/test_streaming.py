@@ -44,3 +44,59 @@ def test_incremental_stream_equals_full_build(spark, built_index, tmp_path):
         for qd in queries
     }
     assert got == exp
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running an epoch already folded
+    into the live index must be a no-op (epoch ledger in meta.json)."""
+    import numpy as np
+    import pandas as pd
+
+    from localsearchengine_spark.config import BuildConfig
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.streaming.incremental import IncrementalIndexer
+    from localsearchengine_spark.utils import read_json
+
+    def batch_df(seed, n):
+        from localsearchengine_spark.sources.fixtures import make_transcripts
+        return spark.createDataFrame(make_transcripts(n, seed=seed))
+
+    ix = IncrementalIndexer(
+        spark, str(tmp_path / "live"), str(tmp_path / "work"),
+        BuildConfig(num_partitions=4, hot_df_threshold=10**9),
+    )
+    ix.process_batch(batch_df(1, 300), epoch_id=0)
+    ix.process_batch(batch_df(2, 200), epoch_id=1)
+    meta1 = read_json(str(tmp_path / "live" / "meta.json"))
+    hits1 = Index(spark, str(tmp_path / "live")).search("spark join", 10, "or")
+    # replay epoch 1 (same data): must change nothing
+    ix.process_batch(batch_df(2, 200), epoch_id=1)
+    meta2 = read_json(str(tmp_path / "live" / "meta.json"))
+    assert meta2["n_docs"] == meta1["n_docs"] == 500
+    assert meta2["applied_epochs"] == meta1["applied_epochs"]
+    assert Index(spark, str(tmp_path / "live")).search("spark join", 10, "or") == hits1
+
+
+def test_interrupted_swap_recovers(spark, tmp_path):
+    """Crash between the two swap renames: live dir gone, .old present —
+    the next batch must restore the previous index, not install the new
+    micro-batch as the whole corpus."""
+    import os
+    import shutil
+
+    from localsearchengine_spark.config import BuildConfig
+    from localsearchengine_spark.sources.fixtures import make_transcripts
+    from localsearchengine_spark.streaming.incremental import IncrementalIndexer
+    from localsearchengine_spark.utils import read_json
+
+    live = str(tmp_path / "live")
+    ix = IncrementalIndexer(
+        spark, live, str(tmp_path / "work"),
+        BuildConfig(num_partitions=4, hot_df_threshold=10**9),
+    )
+    ix.process_batch(spark.createDataFrame(make_transcripts(300, seed=1)), epoch_id=0)
+    # simulate the crash window: live renamed away, replacement not yet in
+    os.rename(live, live + ".old")
+    ix.process_batch(spark.createDataFrame(make_transcripts(100, seed=3)), epoch_id=1)
+    meta = read_json(os.path.join(live, "meta.json"))
+    assert meta["n_docs"] == 400  # 300 recovered + 100 appended, not 100
