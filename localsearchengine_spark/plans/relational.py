@@ -320,6 +320,41 @@ def b13(spark, sf_dir):
     return a.subtract(b)  # EXCEPT (set semantics), not exceptAll
 
 
+@q(
+    "b21_set_union",
+    """SELECT o_custkey,
+              CAST(count(*) AS BIGINT) AS n_all,
+              CAST(count(DISTINCT src) AS BIGINT) AS n_src
+       FROM (
+         SELECT o_custkey, 'o' AS src FROM orders WHERE o_orderstatus = 'O'
+         UNION ALL
+         SELECT o_custkey, 'f' AS src FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT c_custkey AS o_custkey, 'c' AS src FROM customer WHERE c_nationkey < 5
+       ) GROUP BY o_custkey""",
+)
+def b21(spark, sf_dir):
+    """Union as a driver-checked set op (the A10 merge shape): a 3-way
+    unionByName re-aggregated per key, so the value hash pins multiset
+    union cardinalities (n_all) and per-key source coverage (n_src)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey", F.lit("o").alias("src"))
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey", F.lit("f").alias("src"))
+    d = c.filter(F.col("c_nationkey") < 5).select(
+        F.col("c_custkey").alias("o_custkey"), F.lit("c").alias("src")
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(d)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.countDistinct("src").alias("n_src"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # B12 — string functions (A3's SQL-expressible subset)
 # ---------------------------------------------------------------------------
@@ -511,8 +546,13 @@ def b20(spark, sf_dir):
         ).alias("term"),
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    # N and avgdl over ALL documents (engine semantics: a token-less doc
+    # still counts toward N and pulls avgdl down) — mirrors the oracle CTE;
+    # aggregating the dl table instead would diverge on empty texts
+    stats = (
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .crossJoin(dl.agg(F.sum("dl").alias("total_tokens")))
+        .select("n", (F.col("total_tokens") / F.col("n")).alias("avgdl"))
     )
     tf = (
         toks.filter(F.col("term").isin(_BM25_TERMS))

@@ -531,11 +531,26 @@ def mm01(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # MM2 — frame sampling plumbing (video stand-in): one input blob fans out to
-# K frame rows with a per-frame feature vector, exercising the 1→N Arrow
-# batch shape of a real frame sampler.  Binary decode is not expressible in
-# SQL → rows-only driver check (no oracle entry), per the driver contract.
+# K frame rows with per-frame features, exercising the 1→N Arrow batch shape
+# of a real frame sampler.  Features are scalar columns (the driver's
+# canonicalizer sorts all columns with pandas, which cannot hash Python
+# lists — an array<double> column turned this row red in round 1); the
+# fixture text is pure ASCII (verified: octet_length == length on every
+# row), so the strided byte-sum is SQL-expressible and the row gets a full
+# value-hash oracle instead of the rows-only check.
 # ---------------------------------------------------------------------------
 _MM2_FRAMES = 3
+
+_MM02_SQL = f"""
+SELECT doc_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1 + k, length(text) + 1, {_MM2_FRAMES}),
+                                    i -> ord(substring(text, i, 1)))) % 997
+            AS DOUBLE) AS f_sum,
+       CAST(len(range(1 + k, length(text) + 1, {_MM2_FRAMES})) AS DOUBLE) AS f_len
+FROM documents CROSS JOIN (SELECT unnest(range(0, {_MM2_FRAMES})) AS k)
+"""
 
 
 def _frame_stub(pdf_iter):
@@ -550,22 +565,21 @@ def _frame_stub(pdf_iter):
                         int(doc_id),
                         k,
                         int(len(arr)),
-                        [float(seg.sum() % 997), float(len(seg))],
+                        float(int(seg.sum()) % 997),
+                        float(len(seg)),
                     )
                 )
         yield pd.DataFrame(
-            frames, columns=["doc_id", "frame_idx", "n_bytes", "features"]
+            frames, columns=["doc_id", "frame_idx", "n_bytes", "f_sum", "f_len"]
         )
 
 
+@q("mm02_frame_sample", _MM02_SQL)
 def mm02(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     return docs.mapInPandas(
         _frame_stub,
-        schema="doc_id long, frame_idx int, n_bytes long, features array<double>",
+        schema="doc_id long, frame_idx long, n_bytes long, f_sum double, f_len double",
     )
-
-
-SPARK_QUERIES["mm02_frame_sample"] = mm02
