@@ -150,18 +150,27 @@ def run_queries(
         * tf_norm_column(F.col("tf"), F.col("dl"), F.lit(index.avgdl), cfg.k1, cfg.b)
     )
     joined = decoded.join(F.broadcast(qdf), "term").select(
-        "query_id", "doc_id", "n_terms", "n_present", "k", contrib.alias("contrib")
+        "query_id", "doc_id", "term", "n_terms", "n_present", "k", contrib.alias("contrib")
     )
     if cand is not None:
         in_f = F.col("query_id").isin([int(q) for q in filtered_qids])
         joined = joined.filter(in_f).join(
             cand, ["query_id", "doc_id"], "left_semi"
         ).unionByName(joined.filter(~in_f))
+    # Fixed-order summation (the §2.4 determinism contract): per (query,
+    # doc), contributions are sorted by term and folded left-to-right, so
+    # the float64 score is bit-identical across parallelism levels and to
+    # the driver-local paths.  The collected list is bounded by the query's
+    # term count (small by definition), so per-group state stays tiny.
     scored = (
         joined
         .groupBy("query_id", "doc_id")
         .agg(
-            F.sum("contrib").alias("score"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"),
             F.count(F.lit(1)).alias("nt"),
             F.first("n_terms").alias("n_terms"),
             F.first("n_present").alias("n_present"),

@@ -66,3 +66,94 @@ def ensure_documents_index(
     build_index(spark, src, idx_dir, conf)
     _INDEX_CACHE[key] = idx_dir
     return idx_dir
+
+
+_MERGED_CACHE: dict[str, str] = {}
+
+
+def ensure_merged_documents_index(spark: SparkSession, sf_dir: str) -> str:
+    """Half-corpus builds + distributed segment merge (A10), driver-checked.
+
+    The corpus is split at doc_id = N/2; each half is built as its own
+    complete index with ``doc_id_base`` pinning its global doc_id range
+    (exactly the incremental-append layout A10's ordered fast path merges),
+    then ``merge_indexes`` combines them.  Queries over the merged index
+    must therefore match the same whole-corpus oracle as a single build —
+    merge ∘ build ≡ build."""
+    from localsearchengine_spark.operators.merge import merge_indexes
+
+    key = os.path.abspath(sf_dir)
+    if key in _MERGED_CACHE:
+        return _MERGED_CACHE[key]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    half = n // 2
+    conf = BuildConfig(num_partitions=8, hot_df_threshold=2000, block_size=128)
+    part_dirs = []
+    for lo, hi, base in ((0, half, 0), (half, n, half)):
+        src = tempfile.mkdtemp(prefix=f"lse_half_{base}_")
+        documents_as_transcripts(spark, sf_dir).filter(
+            (F.col("conv_id") >= F.format_string("doc%012d", F.lit(lo)))
+            & (F.col("conv_id") < F.format_string("doc%012d", F.lit(hi)))
+        ).write.mode("overwrite").parquet(src)
+        idx = tempfile.mkdtemp(prefix=f"lse_halfidx_{base}_")
+        build_index(spark, src, idx, conf, doc_id_base=base)
+        part_dirs.append(idx)
+    out = tempfile.mkdtemp(prefix="lse_merged_")
+    merge_indexes(spark, part_dirs, out)
+    _MERGED_CACHE[key] = out
+    return out
+
+
+_RESUMED_CACHE: dict[str, str] = {}
+
+
+def ensure_resumed_documents_index(spark: SparkSession, sf_dir: str) -> str:
+    """Kill/resume lineage checkpoints (A11), driver-checked: build, delete
+    a subset of posting partition files + their manifest markers (simulating
+    task loss mid-build), ``resume`` against the same pinned input, and hand
+    the repaired index to the caller.  Queries over it must match the same
+    whole-corpus oracle as an uninterrupted build."""
+    import glob
+
+    from localsearchengine_spark.build import resume
+
+    key = os.path.abspath(sf_dir)
+    if key in _RESUMED_CACHE:
+        return _RESUMED_CACHE[key]
+    src = tempfile.mkdtemp(prefix="lse_corpus_r_")
+    documents_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
+    idx = tempfile.mkdtemp(prefix="lse_residx_")
+    conf = BuildConfig(num_partitions=8, hot_df_threshold=2000, block_size=128)
+    build_index(spark, src, idx, conf)
+    # simulate losing 3 of the 8 posting partitions (files + lineage markers)
+    victims = [0, 3, 7]
+    killed = 0
+    for pid in victims:
+        for path in (
+            os.path.join(idx, "postings", f"part-{pid:05d}.parquet"),
+            os.path.join(idx, "manifest", f"postings-{pid:05d}.json"),
+        ):
+            if os.path.exists(path):
+                os.remove(path)
+                killed += 1
+    if not killed:
+        raise RuntimeError("resume fixture: no partition files found to delete")
+    # meta says complete; flip it back to building as a mid-build kill would
+    import json
+
+    meta_p = os.path.join(idx, "meta.json")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    meta["status"] = "building"
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
+    report = resume(spark, src, idx)
+    if report.partitions_built != len(victims):
+        raise RuntimeError(
+            f"resume rebuilt {report.partitions_built} partitions, expected {len(victims)}"
+        )
+    if glob.glob(os.path.join(idx, "postings", "part-*.parquet.tmp*")):
+        raise RuntimeError("resume left temp files behind")
+    _RESUMED_CACHE[key] = idx
+    return idx

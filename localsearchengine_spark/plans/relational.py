@@ -502,11 +502,21 @@ def b19(spark, sf_dir):
 _BM25_TERMS = ["join", "spark"]  # sorted
 
 
-def _bm25_sql(terms: list[str], k: int, mode: str) -> str:
+def _bm25_sql(terms: list[str], k: int, mode: str, qid: int | None = None) -> str:
+    """Independent DuckDB BM25 oracle.  With ``qid`` set, emits
+    (query_id, rank, doc_id, score) — rank over the same unrounded
+    (s DESC, doc_id) order the LIMIT uses, for batch-path oracles."""
     cfg = BM25Config()
     tlist = ", ".join(f"'{t}'" for t in terms)
     idf = cfg.idf_sql("df.df", "stats.n")
     and_filter = f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    select = "doc_id, round(s, 6) AS score"
+    if qid is not None:
+        select = (
+            f"CAST({qid} AS BIGINT) AS query_id, "
+            "CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+            "doc_id, round(s, 6) AS score"
+        )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
@@ -528,7 +538,7 @@ scores AS (
          CAST(count(*) AS BIGINT) AS nt
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id)
-SELECT doc_id, round(s, 6) AS score FROM scores {and_filter}
+SELECT {select} FROM scores {and_filter}
 ORDER BY s DESC, doc_id LIMIT {k}
 """
 
@@ -672,6 +682,99 @@ def fts04(spark, sf_dir):
 
     index = Index(spark, ensure_documents_index(spark, sf_dir, positions=True))
     hits = index.search('"' + " ".join(_FTS4_PHRASE) + '"', k=10)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# FTS5/FTS8 — the distributed batch-query path (A20, batch_query.py): the
+# whole query set evaluated as ONE Spark job (decode scan → broadcast query
+# join → fixed-order partial-agg → per-query window top-k) vs an
+# independent per-query SQL oracle UNION ALL'd with query_id + rank.
+# Query shapes pin every branch: hot∧hot, rare∧hot (semi-join pre-filter),
+# 3-term, single-term, and a term absent from the corpus (empty result).
+# ---------------------------------------------------------------------------
+_FTS5_QUERIES = [
+    {"query_id": 1, "terms": ["scan", "small"], "k": 10},
+    {"query_id": 2, "terms": ["dup", "join"], "k": 10},
+    {"query_id": 3, "terms": ["column", "table", "value"], "k": 15},
+    {"query_id": 4, "terms": ["window"], "k": 10},
+    {"query_id": 5, "terms": ["spark", "zzzmissing"], "k": 10},
+]
+_FTS8_QUERIES = [
+    {"query_id": 1, "terms": ["fast", "key"], "k": 10},
+    {"query_id": 2, "terms": ["line", "vector"], "k": 12},
+    {"query_id": 3, "terms": ["dup", "the"], "k": 10},
+]
+
+
+def _batch_oracle_sql(queries: list[dict], mode: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT * FROM ({_bm25_sql(sorted(q['terms']), q['k'], mode, qid=q['query_id'])})"
+        for q in queries
+    )
+
+
+def _engine_batch(spark, sf_dir, queries: list[dict], mode: str):
+    from localsearchengine_spark.operators.batch_query import run_queries
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    res = run_queries(spark, index, queries, mode=mode)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+@q("fts05_batch_queries", _batch_oracle_sql(_FTS5_QUERIES, "and"))
+def fts05(spark, sf_dir):
+    return _engine_batch(spark, sf_dir, _FTS5_QUERIES, "and")
+
+
+@q("fts08_batch_queries_or", _batch_oracle_sql(_FTS8_QUERIES, "or"))
+def fts08(spark, sf_dir):
+    return _engine_batch(spark, sf_dir, _FTS8_QUERIES, "or")
+
+
+# ---------------------------------------------------------------------------
+# FTS6 — distributed segment merge (A10): two half-corpus indexes built with
+# disjoint doc_id ranges (doc_id_base) are merged; block-max WAND over the
+# merged index (block score bounds recomputed declaratively for the merged
+# avgdl) must match the whole-corpus oracle — merge ∘ build ≡ build.
+# ---------------------------------------------------------------------------
+_FTS6_TERMS = ["order", "value"]  # sorted
+
+
+@q("fts06_merged_index", _bm25_sql(_FTS6_TERMS, 12, "or"))
+def fts06(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_merged_documents_index
+
+    index = Index(spark, ensure_merged_documents_index(spark, sf_dir))
+    hits = index.search(_FTS6_TERMS, k=12, mode="wand")
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# FTS7 — lineage checkpoints / resume (A11): an index that lost 3 of its 8
+# posting partitions (files + manifest markers) mid-build and was repaired
+# by resume() against the same pinned input must answer queries identically
+# to an uninterrupted build — i.e. match the same whole-corpus oracle.
+# ---------------------------------------------------------------------------
+_FTS7_TERMS = ["big", "row"]  # sorted
+
+
+@q("fts07_resumed_index", _bm25_sql(_FTS7_TERMS, 10, "and"))
+def fts07(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_resumed_documents_index
+
+    index = Index(spark, ensure_resumed_documents_index(spark, sf_dir))
+    hits = index.search(_FTS7_TERMS, k=10, mode="and")
     return spark.createDataFrame(
         [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
     )
