@@ -181,7 +181,20 @@ def docids_from_deltas(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
     Each block's first value is stored absolute (blocks are self-contained),
     so a global cumsum needs only the previous block's running total
     subtracted back out — a segmented cumsum with no Python per block.
+
+    The running total grows as n_blocks × avg_doc_id: at the 10^12-turn
+    design scale a long posting list with large doc_ids (e.g. a salted
+    stopword concatenated at fetch) can push it past 2^63, where np.cumsum
+    wraps silently.  A cheap float64 bound detects that case and falls back
+    to per-block cumsums (each block's own sum is ≤ max doc_id < 2^63 by
+    construction, so the fallback cannot overflow).
     """
+    if float(vals.astype(np.float64).sum()) > float(2**62):
+        out = np.empty(len(vals), dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        for s, n in zip(starts, counts):
+            out[s : s + n] = np.cumsum(vals[s : s + n].astype(np.int64))
+        return out
     c = np.cumsum(vals.astype(np.int64))
     starts = np.cumsum(counts) - counts
     prev = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0)

@@ -44,6 +44,24 @@ def _bound_expr(max_tf, min_dl, k1: float, b: float, avgdl: float):
     return tf_norm_column(max_tf, min_dl, F.lit(avgdl), k1, b)
 
 
+def _with_pos_bytes(posts: DataFrame) -> DataFrame:
+    """Version shim: indexes written before the positional-postings field
+    lack ``blocks[].pos_bytes``; default it to empty so pre-positions
+    segments merge cleanly instead of failing analysis on the missing
+    field."""
+    fields = posts.schema["blocks"].dataType.elementType.fieldNames()
+    if "pos_bytes" in fields:
+        return posts
+    new_blocks = F.transform(
+        F.col("blocks"),
+        lambda blk: F.struct(
+            *[blk[f].alias(f) for f in fields],
+            F.lit(b"").alias("pos_bytes"),
+        ),
+    )
+    return posts.withColumn("blocks", new_blocks)
+
+
 def merge_indexes(
     spark: SparkSession, index_dirs: list[str], out_dir: str,
     force_path: str | None = None,
@@ -98,9 +116,9 @@ def merge_indexes(
     # ---- postings -----------------------------------------------------------
     posts = None
     for d in index_dirs:
-        part = spark.read.parquet(os.path.join(d, "postings")).withColumn(
-            "seg", F.lit(seg_order[d])
-        )
+        part = _with_pos_bytes(
+            spark.read.parquet(os.path.join(d, "postings"))
+        ).withColumn("seg", F.lit(seg_order[d]))
         posts = part if posts is None else posts.unionByName(part)
 
     if ordered:
@@ -171,33 +189,63 @@ def _merge_ordered(posts: DataFrame, k1: float, b: float, avgdl: float) -> DataF
     )
 
 
+def reorder_positions(
+    flat: np.ndarray, starts: np.ndarray, tfs: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Re-lay a flat per-posting position stream in merged posting order.
+
+    ``flat`` holds each posting's ``tfs[i]`` positions contiguously at
+    ``starts[i]``; the result is the same stream with postings permuted by
+    ``order`` — a vectorized gather (no Python loop over postings)."""
+    lens = tfs[order]
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    idx = (
+        np.arange(cum[-1], dtype=np.int64)
+        - np.repeat(cum[:-1], lens)
+        + np.repeat(starts[order], lens)
+    )
+    return flat[idx]
+
+
 def _merge_interleaved(posts: DataFrame, conf: BuildConfig, avgdl: float) -> DataFrame:
-    """Arrow fallback: per-term decode → merge-sort → re-encode."""
+    """Arrow fallback: per-term decode → merge-sort → re-encode (positional
+    streams included: per-posting position runs are gathered into merged
+    order and re-blocked)."""
     cfg = conf.bm25
     block_size = conf.block_size
 
     def merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
-        for bl in pdf["blocks"]:
-            for blk in bl:
-                if blk["pos_bytes"]:
-                    raise NotImplementedError(
-                        "interleaved merge of positional postings not supported; "
-                        "keep appends range-ordered (the builders always do)"
-                    )
-        parts = [
-            codec.decode_blocks(list(bl))
-            for bl in pdf.sort_values(["seg", "salt"])["blocks"]
-        ]
+        pdf = pdf.sort_values(["seg", "salt"])
+        parts = [codec.decode_blocks(list(bl)) for bl in pdf["blocks"]]
         d = np.concatenate([p[0] for p in parts])
         t = np.concatenate([p[1] for p in parts])
         L = np.concatenate([p[2] for p in parts])
+        has_pos = any(
+            len(blk["pos_bytes"] or b"") for bl in pdf["blocks"] for blk in bl
+        )
+        flat = starts = None
+        if has_pos:
+            # positions are absolute within-doc values (not cross-posting
+            # deltas), so per-part streams concatenate into one flat array;
+            # posting i of the unmerged order owns flat[starts[i] : +tf[i]]
+            flats = []
+            for bl, (_, pt, _) in zip(pdf["blocks"], parts):
+                raw = b"".join(bytes(blk["pos_bytes"] or b"") for blk in bl)
+                flats.append(codec.decode_varints(raw, int(pt.sum())).astype(np.int64))
+            flat = np.concatenate(flats) if flats else np.empty(0, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(t)))[:-1]
         order = np.argsort(d, kind="mergesort")
-        d, t, L = d[order], t[order], L[order]
-        if len(d) > 1 and (np.diff(d) == 0).any():
+        d_m, t_m, L_m = d[order], t[order], L[order]
+        if len(d_m) > 1 and (np.diff(d_m) == 0).any():
             raise ValueError(f"duplicate doc_id across segments for term {term!r}")
+        positions = None
+        if has_pos:
+            positions = reorder_positions(flat, starts, t, order)
+        d, t, L = d_m, t_m, L_m
         blocks = codec.encode_blocks(
-            d, t, L, block_size=block_size, k1=cfg.k1, b=cfg.b, avgdl=avgdl
+            d, t, L, block_size=block_size, k1=cfg.k1, b=cfg.b, avgdl=avgdl,
+            positions=positions,
         )
         return pd.DataFrame(
             [

@@ -133,6 +133,27 @@ class TermPostings:
         return out
 
 
+def _binary_offsets(ba) -> np.ndarray:
+    """Value offsets of an Arrow Binary/LargeBinary array as int64.
+
+    Plain ``binary`` stores int32 offsets, which cap a column chunk's byte
+    payload at 2 GiB; readers switch to ``large_binary`` (int64 offsets)
+    beyond that — a 100× index can hit it, so both layouts are handled
+    instead of assuming int32.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_large_binary(ba.type) or pa.types.is_large_string(ba.type):
+        dtype = np.int64
+    elif pa.types.is_binary(ba.type) or pa.types.is_string(ba.type):
+        dtype = np.int32
+    else:
+        raise TypeError(f"expected a (large_)binary array, got {ba.type}")
+    return np.frombuffer(ba.buffers()[1], dtype=dtype)[
+        ba.offset : ba.offset + len(ba) + 1
+    ].astype(np.int64)
+
+
 class Index:
     """Read-side handle over a built index directory."""
 
@@ -226,9 +247,7 @@ class Index:
             )
             for name in names:
                 ba = flat.field(f"{name}_bytes")
-                boffs = np.frombuffer(ba.buffers()[1], dtype=np.int32)[
-                    ba.offset : ba.offset + len(ba) + 1
-                ].astype(np.int64)
+                boffs = _binary_offsets(ba)
                 bdata = ba.buffers()[2]
                 stream_raw[name] = (boffs, bdata)
             rows_by_term: dict[str, list[int]] = {}

@@ -62,3 +62,40 @@ def test_big_doc_ids():
     blocks = codec.encode_blocks(doc_ids, tfs, dls, block_size=2, k1=1.2, b=0.75, avgdl=20.0)
     d, t, L = codec.decode_blocks(blocks)
     assert np.array_equal(d, doc_ids)
+
+
+def test_docids_from_deltas_overflow_fallback():
+    """A running global cumsum of concatenated absolute-first blocks can
+    exceed 2^63 (many blocks x huge doc_ids); the decoder must fall back to
+    per-block cumsums instead of silently wrapping."""
+    import numpy as np
+
+    from localsearchengine_spark.operators.codec import docids_from_deltas
+
+    base = np.int64(2**62)  # huge absolute first doc_id per block
+    n_blocks, per = 8, 4
+    vals = np.tile(np.array([base, 1, 1, 1], dtype=np.uint64), n_blocks)
+    counts = np.full(n_blocks, per, dtype=np.int64)
+    got = docids_from_deltas(vals, counts)
+    exp = np.tile(base + np.arange(per, dtype=np.int64), n_blocks) - np.repeat(
+        np.zeros(n_blocks, dtype=np.int64), per
+    )
+    exp = np.concatenate([base + np.arange(per, dtype=np.int64)] * n_blocks)
+    assert (got == exp).all()
+    assert (got > 0).all()  # no silent int64 wrap
+
+
+def test_binary_offsets_large_and_small():
+    import numpy as np
+    import pyarrow as pa
+
+    from localsearchengine_spark.operators.search import _binary_offsets
+
+    vals = [b"ab", b"", b"cdef", b"g"]
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(vals, type=typ)
+        offs = _binary_offsets(arr)
+        assert offs.dtype == np.int64
+        assert offs.tolist() == [0, 2, 2, 6, 7]
+    sliced = pa.array(vals, type=pa.binary()).slice(1, 3)
+    assert _binary_offsets(sliced).tolist() == [2, 2, 6, 7]

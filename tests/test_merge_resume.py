@@ -124,3 +124,70 @@ def test_build_determinism_across_parallelism(spark, transcripts_small, tmp_path
     assert d4 == d13
     queries = golden_queries()[::4]
     assert _query_all(Index(spark, i4), queries) == _query_all(Index(spark, i13), queries)
+
+
+def test_merge_positional_interleaved(spark, transcripts_small, tmp_path):
+    """Interleaved (decode→merge-sort→re-encode) merge of POSITIONAL
+    segments: the merged index must answer phrase queries identically to a
+    single full positional build (the round-1 NotImplementedError path)."""
+    path, pdf = transcripts_small
+    pconf = BuildConfig(num_partitions=4, hot_df_threshold=300, block_size=64,
+                        store_positions=True)
+    full = str(tmp_path / "pfull")
+    build_index(spark, path, full, pconf)
+    pa_, pb_, n_a, _ = _split_and_write(pdf, str(tmp_path), even_odd=False)
+    ia, ib = str(tmp_path / "pia"), str(tmp_path / "pib")
+    build_index(spark, pa_, ia, pconf)
+    build_index(spark, pb_, ib, pconf, doc_id_base=n_a)
+    out = str(tmp_path / "pmerged")
+    meta = merge_indexes(spark, [ia, ib], out, force_path="interleaved")
+    assert meta["merge_path"] == "interleaved"
+    mi, fi = Index(spark, out), Index(spark, full)
+    for q in ('"the small batch"', '"fast scan"', '"join order" -dup', "spark"):
+        assert mi.search(q, k=15, mode="wand") == fi.search(q, k=15, mode="wand"), q
+
+
+def test_reorder_positions_scrambled():
+    """The position gather must be correct under a genuinely out-of-order
+    permutation (overlapping doc ranges across external segments)."""
+    import numpy as np
+
+    from localsearchengine_spark.operators.merge import reorder_positions
+
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 5, size=50).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    flat = np.arange(int(tfs.sum()), dtype=np.int64)
+    order = rng.permutation(50)
+    got = reorder_positions(flat, starts, tfs, order)
+    exp = np.concatenate([flat[starts[i]: starts[i] + tfs[i]] for i in order])
+    assert (got == exp).all()
+
+
+def test_merge_pre_positions_segments(spark, transcripts_small, tmp_path):
+    """Version shim: segments written without the blocks[].pos_bytes field
+    (pre-positions layout) must merge cleanly, not fail analysis."""
+    from pyspark.sql import functions as F
+
+    path, pdf = transcripts_small
+    pa_, pb_, n_a, _ = _split_and_write(pdf, str(tmp_path), even_odd=False)
+    ia, ib = str(tmp_path / "via"), str(tmp_path / "vib")
+    build_index(spark, pa_, ia, CONF)
+    build_index(spark, pb_, ib, CONF, doc_id_base=n_a)
+    # strip pos_bytes from one segment's postings, simulating an old index
+    posts = spark.read.parquet(os.path.join(ia, "postings"))
+    fields = [f for f in posts.schema["blocks"].dataType.elementType.fieldNames()
+              if f != "pos_bytes"]
+    stripped = posts.withColumn(
+        "blocks",
+        F.transform("blocks", lambda blk: F.struct(*[blk[f].alias(f) for f in fields])),
+    )
+    stripped.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "olddir"))
+    import shutil as _sh
+    _sh.rmtree(os.path.join(ia, "postings"))
+    _sh.move(os.path.join(str(tmp_path), "olddir"), os.path.join(ia, "postings"))
+    out = str(tmp_path / "vmerged")
+    merge_indexes(spark, [ia, ib], out)
+    queries = golden_queries()[::10]
+    got = _query_all(Index(spark, out), queries)
+    assert any(len(v) for v in got.values())
