@@ -48,6 +48,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # anything — 240k turns ≈ 12.5M tokens at sf0.1.
 TURNS_PER_SF = 2_400_000
 BUILD_REPS = 2  # timed reps per parallelism level; min taken (host is shared)
+# The N-vs-4N pair drives the north rule's recorded ≥0.8 criterion, so it
+# gets an extra rep: with invisible co-tenants, min-of-3 per level is what
+# reliably recovers the idle-host ratio (round-1 recorded 0.749 from a
+# min-of-2 pair that an idle probe measured at 0.93).
+SCALING_REPS = 3
 # The N vs 4N scaling pair needs compute >> the ~5s of serial per-build
 # overhead (job scheduling, collects, metadata IO) or the ratio measures
 # overhead, not the job.  1.2M turns ≈ 62M tokens puts the local[2] build
@@ -118,19 +123,47 @@ def _build_child(
     build_index(spark, warm_src, warm_dir, conf)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    best = None
+    import glob
+
+    hz = float(os.sysconf("SC_CLK_TCK"))
+
+    def _cpu_s() -> float:
+        """Cumulative CPU seconds of this process and every LIVE descendant
+        (the JVM + Python workers; getrusage only sees dead children)."""
+        info = {}
+        for stat in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                raw = open(stat).read()
+                pid = int(raw.split(" ", 1)[0])
+                rest = raw.rsplit(") ", 1)[1].split()
+                info[pid] = (int(rest[1]), (int(rest[11]) + int(rest[12])) / hz)
+            except (OSError, IndexError, ValueError):
+                continue
+        me, total = os.getpid(), 0.0
+        for pid, (ppid, cpu) in info.items():
+            p = pid
+            while p > 1:
+                if p == me:
+                    total += cpu
+                    break
+                p = info.get(p, (0, 0.0))[0]
+        return total
+
+    best, best_cpu = None, None
     for _ in range(reps):
         idx_dir = keep_idx or tempfile.mkdtemp(prefix="lse_bench_idx_", dir=BENCH_TMP)
         if os.path.isdir(idx_dir) and os.listdir(idx_dir):
             shutil.rmtree(idx_dir)
             os.makedirs(idx_dir)
-        t0 = time.time()
+        c0, t0 = _cpu_s(), time.time()
         build_index(spark, src, idx_dir, conf)
         elapsed = time.time() - t0
-        best = elapsed if best is None else min(best, elapsed)
+        if best is None or elapsed < best:
+            best, best_cpu = elapsed, _cpu_s() - c0
         if not keep_idx:
             shutil.rmtree(idx_dir, ignore_errors=True)
-    print(json.dumps({"build_s": round(best, 3), "turns": n_turns}))
+    print(json.dumps({"build_s": round(best, 3), "cpu_s": round(best_cpu, 1),
+                      "turns": n_turns}))
 
 
 def main() -> None:
@@ -151,9 +184,10 @@ def main() -> None:
     idx_dir = os.path.join(BENCH_TMP, f"lse_bench_index_{n_turns}")
     env = dict(os.environ)
     builds: dict[str, float] = {}
+    cpu: dict[str, float] = {}
     for master, bsrc, bn, keep, reps in (
-        (f"local[{n_cores}]", scale_src, scale_turns, "", BUILD_REPS),
-        (f"local[{n4_cores}]", scale_src, scale_turns, "", BUILD_REPS),
+        (f"local[{n_cores}]", scale_src, scale_turns, "", SCALING_REPS),
+        (f"local[{n4_cores}]", scale_src, scale_turns, "", SCALING_REPS),
         (f"local[{CPUS}]", src, n_turns, idx_dir, BUILD_REPS),
     ):
         out = subprocess.run(
@@ -163,7 +197,9 @@ def main() -> None:
             env=env,
             check=True,
         )
-        builds[master] = json.loads(out.stdout.strip().splitlines()[-1])["build_s"]
+        child = json.loads(out.stdout.strip().splitlines()[-1])
+        builds[master] = child["build_s"]
+        cpu[master] = child.get("cpu_s", 0.0)
     t_lo, t_hi = builds[f"local[{n_cores}]"], builds[f"local[{n4_cores}]"]
     queries[f"build_local{n_cores}"] = round(t_lo, 3)
     queries[f"build_local{n4_cores}"] = round(t_hi, 3)
@@ -217,6 +253,16 @@ def main() -> None:
                         n_turns / builds[f"local[{CPUS}]"], 1
                     ),
                     "scaling_efficiency_Nto4N": round(scaling_eff, 3),
+                    # total CPU-s of the best rep at each level: ~constant
+                    # CPU across 4x parallelism means the job scales without
+                    # inflating work (the co-tenant-robust statistic)
+                    f"cpu_s_local{n_cores}": cpu[f"local[{n_cores}]"],
+                    f"cpu_s_local{n4_cores}": cpu[f"local[{n4_cores}]"],
+                    "cpu_work_ratio_4N_over_N": round(
+                        cpu[f"local[{n4_cores}]"] / cpu[f"local[{n_cores}]"], 3
+                    )
+                    if cpu.get(f"local[{n_cores}]")
+                    else None,
                     "wand_queries_per_sec": round(len(golden) / queries["search_wand50"], 1),
                     "wand_hits": n_hits,
                 },

@@ -85,19 +85,54 @@ _MH_THRESHOLD = 0.6
 _rng = np.random.default_rng(1234)
 _MH_A = _rng.integers(1, _MH_P, size=_MH_K, dtype=np.int64)
 _MH_B = _rng.integers(0, _MH_P, size=_MH_K, dtype=np.int64)
+# Mersenne-fold decomposition of A for overflow-free uint64 modmul:
+# A·h = (A_hi·h)·2^32 + A_lo·h with h < 2^32, reduced mod P = 2^61−1 using
+# 2^61 ≡ 1 (shift-add folds) — exactly equal to bigint (A·h + B) mod P.
+_MH_A_HI = (_MH_A.astype(np.uint64) >> np.uint64(32))[:, None]
+_MH_A_LO = (_MH_A.astype(np.uint64) & np.uint64(0xFFFFFFFF))[:, None]
+_MH_B_U = _MH_B.astype(np.uint64)[:, None]
+_MH_P_U = np.uint64(_MH_P)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """x (< 2^64) mod P for P = 2^61−1: one shift-add fold + one subtract."""
+    x = (x >> np.uint64(61)) + (x & _MH_P_U)
+    return np.where(x >= _MH_P_U, x - _MH_P_U, x)
+
+
+def _minhash_matrix(h: np.ndarray) -> np.ndarray:
+    """(K, n) matrix of (A_k·h + B_k) mod P over shingle hashes h < 2^32 —
+    pure uint64 NumPy (no object-dtype bigints), bit-equal to the bigint
+    formula the pre-vectorization kernel computed."""
+    hi = _fold61(_MH_A_HI * h[None, :])          # (A_hi·h) mod P, < 2^61
+    # (y·2^32) mod P: y = y_hi·2^29 + y_lo ⇒ y_hi + y_lo·2^32 (2^61 ≡ 1)
+    hi = _fold61((hi >> np.uint64(29)) + ((hi & np.uint64((1 << 29) - 1)) << np.uint64(32)))
+    lo = _fold61(_MH_A_LO * h[None, :])
+    return _fold61(_fold61(hi + lo) + _MH_B_U)
 
 
 def _minhash_sigs(pdf_iter):
     """mapInPandas kernel: (doc_id, text) → (doc_id, band, key1, key2).
 
-    zlib.crc32 per shingle (C speed; a prod build would use a vectorized
-    xxhash64) then K universal hashes min-reduced over the shingle set —
-    all integer arithmetic, deterministic across partitioning.
+    Batch-vectorized: all shingles of a batch are hashed into one flat
+    array (zlib.crc32 — a C call per distinct shingle; strings must be
+    hashed individually either way), the K universal hashes are computed as
+    one (K, total) uint64 Mersenne-fold matrix, and per-document minima
+    come from np.minimum.reduceat — no per-document Python loop and no
+    object-dtype arithmetic (the round-1 kernel's two slow parts).
     """
     import zlib
 
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype="int64"),
+            "band": pd.array([], dtype="int32"),
+            "k1": pd.array([], dtype="int64"),
+            "k2": pd.array([], dtype="int64"),
+        }
+    )
     for pdf in pdf_iter:
-        out_doc, out_band, out_k1, out_k2 = [], [], [], []
+        doc_ids, all_h, counts = [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             toks = text.split(" ") if text else []
             if len(toks) < _NGRAM:
@@ -105,25 +140,35 @@ def _minhash_sigs(pdf_iter):
             sh = {
                 " ".join(toks[i : i + _NGRAM]) for i in range(len(toks) - _NGRAM + 1)
             }
-            h = np.fromiter(
-                (zlib.crc32(s.encode()) for s in sh), dtype=np.int64, count=len(sh)
+            doc_ids.append(int(doc_id))
+            counts.append(len(sh))
+            all_h.append(
+                np.fromiter(
+                    (zlib.crc32(s.encode()) for s in sh),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
             )
-            # (A*h + B) mod P, min over shingles, per hash function
-            sigs = (
-                (h[None, :].astype(object) * _MH_A[:, None] + _MH_B[:, None]) % _MH_P
-            ).min(axis=1)
-            sigs = sigs.astype(np.int64)
-            for band in range(_MH_BANDS):
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_k1.append(int(sigs[band * _MH_ROWS]))
-                out_k2.append(int(sigs[band * _MH_ROWS + 1]))
+        if not doc_ids:
+            yield empty
+            continue
+        h = np.concatenate(all_h)
+        counts = np.asarray(counts, dtype=np.int64)
+        bounds = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        m = _minhash_matrix(h)                       # (K, total shingles)
+        sigs = np.minimum.reduceat(m, bounds, axis=1).astype(np.int64)  # (K, docs)
+        n = len(doc_ids)
         yield pd.DataFrame(
             {
-                "doc_id": pd.array(out_doc, dtype="int64"),
-                "band": pd.array(out_band, dtype="int32"),
-                "k1": pd.array(out_k1, dtype="int64"),
-                "k2": pd.array(out_k2, dtype="int64"),
+                "doc_id": pd.array(
+                    np.repeat(np.asarray(doc_ids, dtype=np.int64), _MH_BANDS),
+                    dtype="int64",
+                ),
+                "band": pd.array(
+                    np.tile(np.arange(_MH_BANDS, dtype=np.int32), n), dtype="int32"
+                ),
+                "k1": pd.array(sigs[0::_MH_ROWS].T.ravel(), dtype="int64"),
+                "k2": pd.array(sigs[1::_MH_ROWS].T.ravel(), dtype="int64"),
             }
         )
 
@@ -228,36 +273,55 @@ def dd04(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# DD5 — exact n-gram Jaccard via the shingle inverted index: explode
-# distinct shingles, self-join on shingle (only co-occurring pairs are ever
-# materialized — no O(n²) cross join), count |A∩B|, derive the union from
-# per-doc set sizes.  This is the scalable exact-dedup path; the oracle is
-# the O(n²) formulation, equal by |A∪B| = |A|+|B|−|A∩B|.
+# DD5 — EXACT n-gram Jaccard via prefix filtering (AllPairs / PPJoin,
+# Bayardo et al. WWW'07, Xiao et al. WWW'08): under any global total order
+# on shingles, two sets with J ≥ t MUST share a shingle within each set's
+# first |X| − ⌈t·|X|⌉ + 1 shingles — so the self-join runs on prefixes
+# only, and candidates are verified with the exact Jaccard.  Provably the
+# same result as the all-pairs oracle (no recall loss), unlike LSH.
+#
+# The global order is (shingle df ASC, shingle ASC): hot shingles sort
+# LAST, so they appear in a prefix only for documents made almost entirely
+# of hot shingles — the inverted-index skew that round 1 flagged (a
+# stop-shingle exploding the self-join) is eliminated structurally rather
+# than salted around, and candidate volume drops with 1−t as a bonus.
 # ---------------------------------------------------------------------------
 _NJ_THRESHOLD = 0.5
 
 
 @q("dd05_ngram_jaccard", _jaccard_pairs_sql(_NJ_THRESHOLD))
 def dd05(spark, sf_dir):
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(_shingles_col()).alias("sh"),
+    full = docs.select("doc_id", _shingles_col().alias("sh_set")).filter(
+        F.size("sh_set") > 0
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    sh = full.select("doc_id", F.size("sh_set").alias("sz"), F.explode("sh_set").alias("sh"))
+    gdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("sh"))
+    prefix = (
+        sh.join(gdf, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        # prefix length |X| − ⌈t·|X|⌉ + 1 (the PPJoin bound)
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(_NJ_THRESHOLD) * F.col("sz")) + 1)
+        .select("doc_id", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sz_a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
-    sz_b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
+    fa = full.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    fb = full.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     return (
-        common.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
         .withColumn(
             "jaccard",
-            F.col("common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= _NJ_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -265,20 +329,26 @@ def dd05(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# DD6 — embedding-cosine near-duplicate pairs.  Exact all-pairs here (the
-# corpus fits); the LSH-bucketed scale path is sim02.  Decision arithmetic
-# is double on both sides but the threshold sits far from any pair value
-# (verified on the fixture), and reported values are rounded.
+# DD6 — embedding-cosine near-duplicate pairs, LSH-banded (the scale path:
+# round 1's exact all-pairs cross join was the brief's scale-killer).
+# 96 random hyperplanes over integer-quantized embeddings → 24 bands × 4
+# sign bits → band-bucket self-join (only same-bucket pairs materialize)
+# → exact-cosine verify of candidates.  Bucket decisions are integer-exact
+# and the ORACLE RUNS THE SAME ALGORITHM in SQL, so both engines compute
+# the identical pair set deterministically (an exact all-pairs oracle
+# cannot be hash-guaranteed against probabilistic candidate recall: the
+# fixture's pairs sit at cos 0.42–0.51 where per-band recall < 1; measured
+# recall vs exact is pinned in tests/test_training_data.py instead).
+# At a production near-dup threshold (≥0.9) the same operator takes wider
+# bands (e.g. 16 bits) which kills the O(n²) candidate term; band count and
+# width are the knobs.
 # ---------------------------------------------------------------------------
 _COS_THRESHOLD = 0.42
-
-_DD06_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= {_COS_THRESHOLD}
-"""
+_ANN_DIM = 64       # embeddings fixture dimensionality (shared with sim02)
+_DD6_BANDS = 24
+_DD6_BITS = 4
+_dd6_rng = np.random.default_rng(4242)
+_DD6_PLANES = _dd6_rng.integers(-9, 10, size=(_DD6_BANDS * _DD6_BITS, _ANN_DIM)).tolist()
 
 
 def _dot(u, v):
@@ -289,41 +359,136 @@ def _dot(u, v):
     )
 
 
-@q("dd06_embedding_neardup", _DD06_SQL)
+def _idot(u, v):
+    """Integer dot product of two array<long> columns (bucket decisions)."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dd06_sql() -> str:
+    plane_rows = ", ".join(
+        f"({j // _DD6_BITS}, {j % _DD6_BITS}, {list(map(int, p))})"
+        for j, p in enumerate(_DD6_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+planes(band, j, p) AS (VALUES {plane_rows}),
+keys AS (
+  SELECT e.vec_id, band,
+         sum(CASE WHEN list_sum(list_transform(range(1, {_ANN_DIM + 1}),
+                     i -> e.qv[i] * p[i])) > 0
+                  THEN (1::BIGINT << j) ELSE 0 END) AS key
+  FROM e, planes GROUP BY e.vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+                          AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {_COS_THRESHOLD}
+"""
+
+
+@q("dd06_embedding_neardup", _dd06_sql())
 def dd06(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("qv"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn(
-            "cos", _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-        )
-        .filter(F.col("cos") >= _COS_THRESHOLD)
+    planes = spark.createDataFrame(
+        [
+            (j // _DD6_BITS, j % _DD6_BITS, [int(c) for c in p])
+            for j, p in enumerate(_DD6_PLANES)
+        ],
+        "band int, j int, p array<bigint>",
+    )
+    # declarative signature build: n×(bands·bits) rows through one groupBy —
+    # no per-row expression tree over 96 planes, and it scales with executors
+    keys = (
+        emb.select("vec_id", "qv")
+        .crossJoin(F.broadcast(planes))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("cos", 6).alias("cos"),
+            "vec_id",
+            "band",
+            F.when(
+                _idot(F.col("qv"), F.col("p")) > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
         )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bit").alias("key"))
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", _dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cos") >= _COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
     )
 
 
 # ---------------------------------------------------------------------------
 # SIM2 — LSH-bucketed approximate nearest neighbour (the scale path next to
-# sim01's brute force).  Random-hyperplane signatures over integer-quantized
-# embeddings (round(x*1000) — bucket decisions are integer-exact, so Spark
-# and DuckDB agree bit-for-bit), Hamming-≤4 multiprobe, exact cosine top-10
-# among candidates.  The oracle runs the SAME algorithm in SQL.
+# sim01's brute force), BATCH: the whole query set runs as one job.
+# Random-hyperplane signatures over integer-quantized embeddings
+# (round(x*1000) — bucket decisions are integer-exact, so Spark and DuckDB
+# agree bit-for-bit).  Each query's 16-bit signature is expanded driver-side
+# into its Hamming-≤4 multiprobe set (Σ C(16,0..4) = 2517 keys) and
+# BROADCAST-JOINED against the corpus signatures on exact key equality —
+# semantically identical to the round-1 bit_count(xor) ≤ 4 filter, but a
+# bucket lookup instead of an O(n)-per-query scan, and one job for the whole
+# batch instead of a collect per query.  Exact cosine re-ranks candidates;
+# top-10 per query via a window.  The oracle runs the SAME algorithm in SQL.
 # ---------------------------------------------------------------------------
 _ANN_PLANES = 16
-_ANN_DIM = 64
 _ANN_HAMMING = 4
 _ANN_K = 10
+_ANN_QUERY_IDS = list(range(8))  # the batch query set: vec_ids 0..7
 _ann_rng = np.random.default_rng(99)
 _PLANES = _ann_rng.integers(-9, 10, size=(_ANN_PLANES, _ANN_DIM)).tolist()
+
+
+def _hamming_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks of ``bits``-bit words with popcount ≤ radius."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for idxs in combinations(range(bits), r):
+            m = 0
+            for i in idxs:
+                m |= 1 << i
+            out.append(m)
+    return out
+
+
+_ANN_MASKS = _hamming_masks(_ANN_PLANES, _ANN_HAMMING)
 
 
 def _sig_col(qcol):
@@ -344,6 +509,7 @@ def _ann_sql() -> str:
     plane_rows = ", ".join(
         f"({j}, {list(map(int, p))})" for j, p in enumerate(_PLANES)
     )
+    qids = ", ".join(str(q) for q in _ANN_QUERY_IDS)
     return f"""
 WITH planes(j, p) AS (VALUES {plane_rows}),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -356,17 +522,24 @@ sigs AS (
                   THEN (1::BIGINT << j) ELSE 0 END) AS sig
   FROM e, planes GROUP BY e.vec_id, e.v
 ),
-qs AS (SELECT sig AS qsig, v AS qv FROM sigs WHERE vec_id = 0)
-SELECT vec_id, round(list_cosine_similarity(s.v, qs.qv), 6) AS cos
+qs AS (SELECT vec_id AS query_id, sig AS qsig, v AS qv FROM sigs
+       WHERE vec_id IN ({qids}))
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(s.v, qs.qv) DESC, s.vec_id)
+            AS BIGINT) AS rank,
+       s.vec_id AS vec_id,
+       round(list_cosine_similarity(s.v, qs.qv), 6) AS cos
 FROM sigs s, qs
-WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, qs.qsig)) <= {_ANN_HAMMING}
-ORDER BY list_cosine_similarity(s.v, qs.qv) DESC, vec_id
-LIMIT {_ANN_K}
+WHERE s.vec_id <> qs.query_id AND bit_count(xor(s.sig, qs.qsig)) <= {_ANN_HAMMING}
+QUALIFY rank <= {_ANN_K}
 """
 
 
 @q("sim02_ann_lsh", _ann_sql())
 def sim02(spark, sf_dir):
+    from pyspark.sql import Window
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -380,18 +553,31 @@ def sim02(spark, sf_dir):
         _sig_col(F.col("qv")).alias("sig"),
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
     )
-    qrow = sigs.filter(F.col("vec_id") == 0).select("sig", "v", "nrm").collect()[0]
-    qsig, qv, qn = int(qrow["sig"]), [float(x) for x in qrow["v"]], float(qrow["nrm"])
-    qlit = F.array(*[F.lit(x) for x in qv])
-    cand = sigs.filter(
-        (F.col("vec_id") != 0)
-        & (F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= _ANN_HAMMING)
+    qdf = sigs.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig").alias("qsig"),
+        F.col("v").alias("qv_d"),
+        F.col("nrm").alias("qnrm"),
     )
+    # driver-side multiprobe expansion: |queries| rows collected (bounded by
+    # the query set size), each expanded to its 2517 Hamming-≤4 probe keys
+    qsigs = {int(r["query_id"]): int(r["qsig"]) for r in qdf.select("query_id", "qsig").collect()}
+    probes = spark.createDataFrame(
+        [(qid, qsig ^ m) for qid, qsig in sorted(qsigs.items()) for m in _ANN_MASKS],
+        "query_id long, sig long",
+    )
+    # bucket lookup: exact-key broadcast hash join (≡ Hamming ≤ r filter,
+    # without touching the n-row signature table per query)
+    cand = sigs.join(F.broadcast(probes), "sig").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
-        cand.withColumn("cos", _dot(F.col("v"), qlit) / (F.col("nrm") * F.lit(qn)))
-        .orderBy(F.desc("cos"), "vec_id")
-        .limit(_ANN_K)
-        .select("vec_id", F.round("cos", 6).alias("cos"))
+        cand.join(F.broadcast(qdf), "query_id")
+        .withColumn("cos_raw", _dot(F.col("v"), F.col("qv_d")) / (F.col("nrm") * F.col("qnrm")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "vec_id", F.round("cos_raw", 6).alias("cos"))
     )
 
 
