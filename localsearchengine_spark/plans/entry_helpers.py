@@ -105,6 +105,48 @@ def ensure_merged_documents_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_STREAMED_CACHE: dict[str, str] = {}
+
+
+def ensure_streamed_documents_index(spark: SparkSession, sf_dir: str) -> str:
+    """Structured-Streaming incremental build (streaming/incremental.py),
+    driver-checked: the corpus arrives as 3 conv-ordered micro-batches on a
+    file stream; each is built as an append segment (doc_id_base = corpus
+    size so far) and folded in with the ordered merge.  The live index must
+    answer queries identically to a batch build over the whole corpus —
+    i.e. match the same SQL oracle."""
+    from localsearchengine_spark.streaming.incremental import IncrementalIndexer
+
+    key = os.path.abspath(sf_dir)
+    if key in _STREAMED_CACHE:
+        return _STREAMED_CACHE[key]
+    from localsearchengine_spark.sources.fixtures import write_transcripts_parquet
+
+    work = tempfile.mkdtemp(prefix="lse_stream_")
+    stream_dir = os.path.join(work, "drops")
+    os.makedirs(stream_dir)
+    # single parquet FILE per micro-batch (b0 < b1 < b2 in both mtime and
+    # path order — the stream's (timestamp, path) pickup order is the
+    # conv-append contract)
+    pdf = documents_as_transcripts(spark, sf_dir).orderBy("conv_id").toPandas()
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        write_transcripts_parquet(
+            pdf.iloc[cuts[i]:cuts[i + 1]].reset_index(drop=True),
+            os.path.join(stream_dir, f"b{i}.parquet"),
+        )
+    live = os.path.join(work, "live_index")
+    ix = IncrementalIndexer(
+        spark, live, os.path.join(work, "work"),
+        BuildConfig(num_partitions=8, hot_df_threshold=2000, block_size=128),
+    )
+    q = ix.start(stream_dir, os.path.join(work, "ckpt"))
+    q.awaitTermination(600)
+    _STREAMED_CACHE[key] = live
+    return live
+
+
 _RESUMED_CACHE: dict[str, str] = {}
 
 

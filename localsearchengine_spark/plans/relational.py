@@ -781,6 +781,28 @@ def fts07(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FTS9 — Structured-Streaming incremental indexing (streaming/incremental.py
+# extension): the corpus arrives as 3 micro-batches on a file stream, each
+# folded into the live index as an append segment via the ordered merge;
+# the live index must match the whole-corpus SQL oracle (incremental ≡
+# batch build ≡ oracle) — with exactly-once epoch-ledger semantics.
+# ---------------------------------------------------------------------------
+_FTS9_TERMS = ["query", "vector"]  # sorted
+
+
+@q("fts09_incremental_index", _bm25_sql(_FTS9_TERMS, 12, "or"))
+def fts09(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_streamed_documents_index
+
+    index = Index(spark, ensure_streamed_documents_index(spark, sf_dir))
+    hits = index.search(_FTS9_TERMS, k=12, mode="wand")
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # DD1 — exact dedup stats (hash-groupBy dedup, documents)
 # ---------------------------------------------------------------------------
 @q(

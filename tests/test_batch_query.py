@@ -52,3 +52,28 @@ def test_distributed_matches_driver_local(spark, built_index):
         np.testing.assert_allclose(
             [s for _, s in got], [s for _, s in local], atol=1e-9, rtol=0
         )
+
+
+def test_batch_scores_bit_identical_across_shuffle_partitions(spark, built_index):
+    """The §2.4 determinism contract now extends to the distributed batch
+    path: per-(query,doc) contributions fold in sorted term order, so the
+    float64 scores must be BIT-identical (not just close) when the same
+    query set runs under different shuffle parallelism."""
+    from localsearchengine_spark.operators.batch_query import run_queries
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.sources.fixtures import golden_queries
+
+    idx_dir, _, _ = built_index
+    index = Index(spark, idx_dir)
+    golden = golden_queries()[::5]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+             for r in run_queries(spark, index, golden, mode="and").collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+             for r in run_queries(spark, index, golden, mode="and").collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b  # exact float equality, including scores
