@@ -141,8 +141,11 @@ def _build_child(
                 continue
         me, total = os.getpid(), 0.0
         for pid, (ppid, cpu) in info.items():
-            p = pid
-            while p > 1:
+            p, seen = pid, set()
+            # visited guard: PID reuse during the non-atomic /proc scan can
+            # produce a ppid cycle, which must not hang the bench
+            while p > 1 and p not in seen:
+                seen.add(p)
                 if p == me:
                     total += cpu
                     break

@@ -116,9 +116,16 @@ def merge_indexes(
     # ---- postings -----------------------------------------------------------
     posts = None
     for d in index_dirs:
-        part = _with_pos_bytes(
-            spark.read.parquet(os.path.join(d, "postings"))
-        ).withColumn("seg", F.lit(seg_order[d]))
+        raw = spark.read.parquet(os.path.join(d, "postings"))
+        shimmed = "pos_bytes" not in raw.schema["blocks"].dataType.elementType.fieldNames()
+        if shimmed and conf.store_positions:
+            # a pre-positions segment cannot satisfy a positional config:
+            # merged phrase queries would crash on its empty streams later
+            raise RuntimeError(
+                f"segment at {d} predates positional postings but the build "
+                "config stores positions — rebuild it before merging"
+            )
+        part = _with_pos_bytes(raw).withColumn("seg", F.lit(seg_order[d]))
         posts = part if posts is None else posts.unionByName(part)
 
     if ordered:
@@ -232,6 +239,11 @@ def _merge_interleaved(posts: DataFrame, conf: BuildConfig, avgdl: float) -> Dat
             flats = []
             for bl, (_, pt, _) in zip(pdf["blocks"], parts):
                 raw = b"".join(bytes(blk["pos_bytes"] or b"") for blk in bl)
+                if not raw and pt.sum() > 0:
+                    raise ValueError(
+                        f"term {term!r}: segment mixes positional and "
+                        "position-less postings — cannot interleave-merge"
+                    )
                 flats.append(codec.decode_varints(raw, int(pt.sum())).astype(np.int64))
             flat = np.concatenate(flats) if flats else np.empty(0, dtype=np.int64)
             starts = np.concatenate(([0], np.cumsum(t)))[:-1]

@@ -131,18 +131,27 @@ def ensure_streamed_documents_index(spark: SparkSession, sf_dir: str) -> str:
     pdf = documents_as_transcripts(spark, sf_dir).orderBy("conv_id").toPandas()
     n = len(pdf)
     cuts = [0, n // 3, 2 * n // 3, n]
+    import time as _time
+
+    now = _time.time()
     for i in range(3):
+        path = os.path.join(stream_dir, f"b{i}.parquet")
         write_transcripts_parquet(
-            pdf.iloc[cuts[i]:cuts[i + 1]].reset_index(drop=True),
-            os.path.join(stream_dir, f"b{i}.parquet"),
+            pdf.iloc[cuts[i]:cuts[i + 1]].reset_index(drop=True), path
         )
+        # FileStreamSource orders pending files by timestamp with ms
+        # granularity; back-to-back writes can tie, so pin strictly
+        # increasing mtimes to make the batch order deterministic
+        os.utime(path, (now + i, now + i))
     live = os.path.join(work, "live_index")
     ix = IncrementalIndexer(
         spark, live, os.path.join(work, "work"),
         BuildConfig(num_partitions=8, hot_df_threshold=2000, block_size=128),
     )
     q = ix.start(stream_dir, os.path.join(work, "ckpt"))
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("incremental stream did not finish within 600s")
     _STREAMED_CACHE[key] = live
     return live
 

@@ -731,8 +731,8 @@ _MM02_SQL = f"""
 SELECT doc_id,
        CAST(k AS BIGINT) AS frame_idx,
        CAST(length(text) AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(range(1 + k, length(text) + 1, {_MM2_FRAMES}),
-                                    i -> ord(substring(text, i, 1)))) % 997
+       CAST(coalesce(list_sum(list_transform(range(1 + k, length(text) + 1, {_MM2_FRAMES}),
+                                             i -> ord(substring(text, i, 1)))), 0) % 997
             AS DOUBLE) AS f_sum,
        CAST(len(range(1 + k, length(text) + 1, {_MM2_FRAMES})) AS DOUBLE) AS f_len
 FROM documents CROSS JOIN (SELECT unnest(range(0, {_MM2_FRAMES})) AS k)

@@ -77,9 +77,6 @@ def test_docids_from_deltas_overflow_fallback():
     vals = np.tile(np.array([base, 1, 1, 1], dtype=np.uint64), n_blocks)
     counts = np.full(n_blocks, per, dtype=np.int64)
     got = docids_from_deltas(vals, counts)
-    exp = np.tile(base + np.arange(per, dtype=np.int64), n_blocks) - np.repeat(
-        np.zeros(n_blocks, dtype=np.int64), per
-    )
     exp = np.concatenate([base + np.arange(per, dtype=np.int64)] * n_blocks)
     assert (got == exp).all()
     assert (got > 0).all()  # no silent int64 wrap
