@@ -454,6 +454,102 @@ def dd06(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# DD7 — duplicate CLUSTERING: near-dup pairs (the dd05 exact n-gram graph)
+# → connected components → canonical representative (min doc_id) per
+# cluster.  This is the dedup endgame at 100 TB ("keep one copy per
+# duplicate set"), and the repo's one distributed ITERATIVE algorithm:
+# min-label propagation with pointer jumping (label ← min(label, neighbor
+# labels, label[label])), which converges in O(log n) rounds even on chain
+# graphs (cf. Kiveris et al., "Connected Components in MapReduce and
+# Beyond", SoCC 2014 — same doubling idea as their alternating algorithm).
+# Each round is two shuffles; the driver loop stops on a converged count —
+# a bounded action per round, not per row.  Labels are integer doc_ids, so
+# the result is exact and the DuckDB oracle is a recursive CTE reachability
+# closure over the same pair graph.
+# ---------------------------------------------------------------------------
+_DD07_SQL = f"""
+WITH RECURSIVE
+pairs AS ({_jaccard_pairs_sql(_NJ_THRESHOLD)}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS v FROM edges),
+walk(v, l) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.src, walk.l FROM edges e JOIN walk ON walk.v = e.dst
+)
+SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster,
+       CAST(count(*) OVER (PARTITION BY min(l)) AS BIGINT) AS cluster_size
+FROM walk GROUP BY v
+"""
+
+
+def connected_components(edges, max_rounds: int = 31):
+    """(src, dst) undirected edge DataFrame → (v, label) with label = min
+    node id of v's component.  Min-label propagation + pointer jumping;
+    each round halves the label-tree depth, so rounds = O(log n) even on a
+    chain (31 caps a 2^31-node path).  One bounded driver action per round
+    (a convergence count), never a per-row collect."""
+    edges = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).localCheckpoint()
+    # each round MUST truncate lineage (localCheckpoint, not persist): the
+    # per-round self-joins otherwise nest the previous round's logical plan
+    # and the plan tree grows exponentially — the analyzer, not the data,
+    # OOMs.  Prod would use reliable checkpoints (spark.checkpoint.dir) so
+    # executor loss can't lose the round state; local mode has no such loss.
+    lab = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nmin = (
+            edges.join(lab, edges.dst == lab.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            lab.join(nmin, lab.v == nmin.src, "left")
+            .select("v", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        jump = stepped.select(F.col("v").alias("jv"), F.col("label").alias("jlabel"))
+        new_lab = (
+            stepped.join(jump, stepped.label == jump.jv, "left")
+            .select("v", F.least("label", F.coalesce("jlabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_lab.join(lab.withColumnRenamed("label", "old"), "v")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab
+
+
+@q("dd07_duplicate_clusters", _DD07_SQL)
+def dd07(spark, sf_dir):
+    pairs = dd05(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    lab = connected_components(edges)
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        lab.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("label").alias("cluster"),
+            F.col("cluster_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SIM2 — LSH-bucketed approximate nearest neighbour (the scale path next to
 # sim01's brute force), BATCH: the whole query set runs as one job.
 # Random-hyperplane signatures over integer-quantized embeddings

@@ -170,3 +170,21 @@ def test_dd05_prefix_filter_plans_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
         if name == "dd05_ngram_jaccard":
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_connected_components_chain_and_forest(spark):
+    """Pointer jumping must collapse a worst-case 64-node CHAIN (diameter
+    63) within the O(log n) round budget, and keep disjoint components
+    separate."""
+    from localsearchengine_spark.plans.training_data import connected_components
+
+    chain = [(i, i + 1) for i in range(63)]           # one 64-node path
+    clique = [(100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)]
+    pair = [(200, 201)]
+    edges = chain + clique + pair
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["v"]: r["label"] for r in connected_components(df, max_rounds=8).collect()}
+    assert all(got[i] == 0 for i in range(64))
+    assert all(got[100 + i] == 100 for i in range(4))
+    assert got[200] == got[201] == 200
