@@ -122,7 +122,13 @@ def _write_docstore(
     )
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if _dir_bytes(source) < P * 8 * 1024 * 1024:
-        docs = docs.repartition(P)
+        # range-partition by doc_id (not round-robin): same parallelism win,
+        # and every docs file then covers a disjoint doc_id range, so the
+        # doc-store fetch path (Index.fetch_docs) prunes to one file per
+        # requested range via parquet min/max stats.  At production scale
+        # this branch never triggers; the Iceberg table's sort order plays
+        # the same role there.
+        docs = docs.repartitionByRange(P, "doc_id").sortWithinPartitions("doc_id")
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
 
 

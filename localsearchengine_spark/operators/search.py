@@ -287,6 +287,30 @@ class Index:
                 )
         return {t: self._cache[t] for t in terms if self._cache.get(t) is not None}
 
+    # ---- doc-store fetch (result materialization) --------------------------
+    def fetch_docs(self, doc_ids) -> dict[int, dict]:
+        """doc_id → full doc-store row (conv_id, turn_idx, role, tool, ts,
+        text) for the given ids.  The docs table is range-partitioned and
+        row-group-sorted by doc_id at build time, so the pyarrow scan's
+        min/max pruning touches only the files/row groups covering the
+        requested ids — O(result) I/O, not O(corpus)."""
+        import pyarrow.dataset as ds
+
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return {}
+        tbl = self._dataset("docs").to_table(filter=ds.field("doc_id").isin(ids))
+        return {int(r["doc_id"]): r for r in tbl.to_pylist()}
+
+    def search_docs(self, query, k: int = 10, mode: str = "and"):
+        """search() + doc-store materialization: list of (doc_id, score,
+        row) in rank order — what an end user of the reference engine sees
+        (matched turns, not bare ids).  Round-trips the B:15 per-turn
+        text-equality invariant at query time."""
+        hits = self.search(query, k=k, mode=mode)
+        rows = self.fetch_docs([d for d, _ in hits])
+        return [(d, s, rows[d]) for d, s in hits]
+
     # ---- A13 + A16/A17/A18 + A19: search ----------------------------------
     def search(self, query: str | list[str], k: int = 10, mode: str = "and"):
         """→ list[(doc_id, score)] — score desc, doc_id asc tie-break.

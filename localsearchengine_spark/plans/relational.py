@@ -781,6 +781,36 @@ def fts07(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FTS10 — result materialization: top-k search + doc-store fetch (what an
+# end user sees — matched turns, not bare ids).  The docs table is range-
+# partitioned by doc_id at build time so the fetch prunes to the files
+# covering the hit ids.  Returning the text itself makes this row a
+# query-time driver gate on the B:15 per-turn text-equality invariant.
+# ---------------------------------------------------------------------------
+_FTS10_TERMS = ["customer", "line"]  # sorted
+
+
+def _fts10_sql() -> str:
+    return f"""
+SELECT t.doc_id, t.score, d.text
+FROM ({_bm25_sql(_FTS10_TERMS, 10, "and")}) t JOIN documents d USING (doc_id)
+"""
+
+
+@q("fts10_search_with_docs", _fts10_sql())
+def fts10(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    hits = index.search_docs(_FTS10_TERMS, k=10, mode="and")
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6), str(row["text"])) for d, s, row in hits],
+        "doc_id long, score double, text string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # FTS9 — Structured-Streaming incremental indexing (streaming/incremental.py
 # extension): the corpus arrives as 3 micro-batches on a file stream, each
 # folded into the live index as an append segment via the ordered merge;

@@ -77,3 +77,24 @@ def test_salting_reduces_skew(spark, transcripts_small, tmp_path):
     ix_off, ix_on = Index(spark, str(tmp_path / "off")), Index(spark, str(tmp_path / "on"))
     for q in ("the", "spark join", "merge small query"):
         assert ix_off.search(q, 10, "wand") == ix_on.search(q, 10, "wand")
+
+
+def test_fetch_docs_roundtrips_text(spark, built_index):
+    """Doc-store fetch: requested ids come back with byte-exact text (the
+    B:15 per-turn equality invariant at query time), missing ids are
+    absent, empty request is empty."""
+    from localsearchengine_spark.operators.search import Index
+
+    idx_dir, _, pdf = built_index
+    index = Index(spark, idx_dir)
+    want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ids = [0, 1, len(want) // 2, len(want) - 1]
+    rows = index.fetch_docs(ids + [10**12])  # one id beyond the corpus
+    assert set(rows) == set(ids)
+    for i in ids:
+        assert rows[i]["text"] == want.iloc[i]["text"]
+        assert rows[i]["conv_id"] == want.iloc[i]["conv_id"]
+    assert index.fetch_docs([]) == {}
+    hits = index.search_docs("spark join", k=5, mode="wand")
+    assert hits and all(r["text"] for _, _, r in hits)
+    assert [d for d, _, _ in hits] == [d for d, _ in index.search("spark join", k=5, mode="wand")]
