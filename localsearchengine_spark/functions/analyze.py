@@ -124,6 +124,98 @@ def term_freq_frame(
     return out
 
 
+def term_freq_arrow(
+    texts, cfg: BM25Config | None = None, with_positions: bool = False
+) -> dict | None:
+    """Arrow-native sibling of :func:`term_freq_frame` for ``mapInArrow``
+    stages: takes a ``pa.Array``/``pa.ChunkedArray`` of text and returns
+    plain arrays — no pandas block consolidation on output and the term
+    column is materialized with a C++ dictionary ``take`` instead of a
+    NumPy object fancy-index.  Returns None for an all-empty batch.
+
+    Keys: ``row`` (int64 index into the batch), ``term`` (pa.StringArray),
+    ``tf``, ``dl`` (int64), ``codes`` (int64 per-output-row term code),
+    ``uniq`` (object ndarray of the term dictionary — for per-unique-term
+    lookups like hot-salt fan-out), and with positions ``pos_flat`` /
+    ``pos_off`` (int64 values + int32 list offsets, ready for
+    ``pa.ListArray.from_arrays``).  Bit-identical content to
+    :func:`term_freq_frame` (shared tokenize rule; equivalence-tested).
+    """
+    cfg = cfg or BM25Config()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    sep = separator_pattern(cfg)
+    if sep is None:
+        # arbitrary token patterns: reuse the pandas reference path, then
+        # adapt (correctness fallback; the class-pattern hot path below is
+        # what production configs hit)
+        pdf = _term_freq_frame_pandas(texts.to_pandas(), cfg, with_positions)
+        if not len(pdf):
+            return None
+        out = {
+            "row": pdf["row"].to_numpy(dtype=np.int64),
+            "term": pa.array(pdf["term"], type=pa.string()),
+            "tf": pdf["tf"].to_numpy(dtype=np.int64),
+            "dl": pdf["dl"].to_numpy(dtype=np.int64),
+        }
+        codes, uniq = pd.factorize(pdf["term"])
+        out["codes"], out["uniq"] = codes.astype(np.int64), np.asarray(uniq, dtype=object)
+        if with_positions:
+            out["pos_flat"] = np.concatenate(list(pdf["pos"])) if len(pdf) else np.empty(0, np.int64)
+            out["pos_off"] = np.concatenate(
+                ([0], np.cumsum(out["tf"]))
+            ).astype(np.int32)
+        return out
+
+    arr = pc.fill_null(texts, "")
+    if cfg.lowercase:
+        arr = pc.utf8_lower(arr)
+    toks = pc.split_pattern_regex(arr, sep)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    if lens.sum() == 0:
+        return None
+    enc = pc.list_flatten(toks).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_numpy(zero_copy_only=False).astype(object)
+    rows = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+    empty = np.flatnonzero(uniq == "")
+    if len(empty):
+        sel = codes != empty[0]
+        rows, codes = rows[sel], codes[sel]
+    if len(rows) == 0:
+        return None
+    dl = np.bincount(rows, minlength=len(arr))
+    V = len(uniq)
+    key = rows * V + codes
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    first = np.empty(len(sk), dtype=bool)
+    first[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.append(starts, len(sk))).astype(np.int64)
+    u = sk[starts]
+    out_row = u // V
+    out_codes = (u % V).astype(np.int64)
+    out = {
+        "row": out_row,
+        "term": enc.dictionary.take(pa.array(out_codes)),  # C++ take
+        "tf": tf,
+        "dl": dl[out_row],
+        "codes": out_codes,
+        "uniq": uniq,
+    }
+    if with_positions:
+        row_starts = np.cumsum(dl) - dl
+        pos_in_row = np.arange(len(rows), dtype=np.int64) - row_starts[rows]
+        out["pos_flat"] = pos_in_row[order]
+        out["pos_off"] = np.concatenate(([0], np.cumsum(tf))).astype(np.int32)
+    return out
+
+
 def _term_freq_frame_pandas(
     texts: pd.Series, cfg: BM25Config, with_positions: bool = False
 ) -> pd.DataFrame:

@@ -32,12 +32,14 @@ _MASK7 = np.uint64(0x7F)
 _SHIFT7 = np.uint64(7)
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64 array."""
+def encode_varints_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 encode of a uint64 array → (stream, per-value byte
+    lengths).  The lengths let callers slice the concatenated stream at any
+    value boundary (e.g. per block) without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     out = np.zeros((n, 10), dtype=np.uint8)
     lengths = np.zeros(n, dtype=np.int64)
     cur = v.copy()
@@ -50,7 +52,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         if not more.any():
             break
     mask = np.arange(10) < lengths[:, None]
-    return out[mask].tobytes()
+    return out[mask].tobytes(), lengths
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    return encode_varints_with_lengths(values)[0]
 
 
 def decode_varints(buf: bytes, count: int) -> np.ndarray:
@@ -113,35 +120,54 @@ def encode_blocks(
     n = len(doc_ids)
     if n == 0:
         return []
+    # ONE varint pass per stream for the whole list (not per 128-entry
+    # block): per-value byte lengths give the block boundaries inside each
+    # concatenated stream, so blocking is pure slicing.  Hot posting lists
+    # previously paid ~3 small-array NumPy calls per block — the dominant
+    # per-call overhead of the encode stage at millions of blocks.
+    starts = np.arange(0, n, block_size)
+    ends = np.append(starts[1:], n)
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = doc_ids[0]
     deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    deltas[starts] = doc_ids[starts].astype(np.uint64)  # block-local absolutes
     tf_f = tfs.astype(np.float64)
     tf_norm = tf_f / (tf_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
-    tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+
+    def stream_cuts(values: np.ndarray, cut_idx: np.ndarray):
+        buf, lens = encode_varints_with_lengths(values)
+        byte_off = np.concatenate(([0], np.cumsum(lens)))
+        return buf, byte_off[cut_idx]
+
+    doc_buf, doc_cut = stream_cuts(deltas, np.append(starts, n))
+    tf_buf, tf_cut = stream_cuts(tfs.astype(np.uint64), np.append(starts, n))
+    dl_buf, dl_cut = stream_cuts(dls.astype(np.uint64), np.append(starts, n))
+    pos_buf, pos_cut = b"", None
+    if positions is not None:
+        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+        pos_buf, pos_cut = stream_cuts(
+            np.ascontiguousarray(positions, dtype=np.uint64),
+            tf_cum[np.append(starts, n)],
+        )
+    max_doc = doc_ids[ends - 1]
+    tfn_max = np.maximum.reduceat(tf_norm, starts)
+    tf_max = np.maximum.reduceat(tfs, starts)
+    dl_min = np.minimum.reduceat(dls, starts)
     blocks: list[Block] = []
-    for start in range(0, n, block_size):
-        end = min(start + block_size, n)
-        d = deltas[start:end].copy()
-        d[0] = np.uint64(doc_ids[start])  # block-local absolute first doc_id
-        pos_b = b""
-        if positions is not None:
-            pos_b = encode_varints(
-                np.ascontiguousarray(
-                    positions[tf_cum[start]:tf_cum[end]], dtype=np.uint64
-                )
-            )
+    for i in range(len(starts)):
         blocks.append(
             Block(
-                n=end - start,
-                max_doc_id=int(doc_ids[end - 1]),
-                tf_norm_max=float(tf_norm[start:end].max()),
-                max_tf=int(tfs[start:end].max()),
-                min_dl=int(dls[start:end].min()),
-                doc_bytes=encode_varints(d),
-                tf_bytes=encode_varints(tfs[start:end].astype(np.uint64)),
-                dl_bytes=encode_varints(dls[start:end].astype(np.uint64)),
-                pos_bytes=pos_b,
+                n=int(ends[i] - starts[i]),
+                max_doc_id=int(max_doc[i]),
+                tf_norm_max=float(tfn_max[i]),
+                max_tf=int(tf_max[i]),
+                min_dl=int(dl_min[i]),
+                doc_bytes=doc_buf[doc_cut[i]:doc_cut[i + 1]],
+                tf_bytes=tf_buf[tf_cut[i]:tf_cut[i + 1]],
+                dl_bytes=dl_buf[dl_cut[i]:dl_cut[i + 1]],
+                pos_bytes=(
+                    pos_buf[pos_cut[i]:pos_cut[i + 1]] if pos_cut is not None else b""
+                ),
             )
         )
     return blocks

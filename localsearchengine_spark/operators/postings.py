@@ -9,12 +9,15 @@ block compression of sorted docID postings persisted as ... segments",
 Dataflow (SURVEY.md §3.1):
 
     docs(doc_id, text)
-      → mapInPandas term_freq_frame          [Arrow batch, no per-row Python]
+      → mapInArrow term_freq_arrow           [Arrow batch, no per-row Python,
+        no pandas construction — RecordBatches in and out]
       → (term, salt, doc_id, tf, dl)         salt: hot terms get doc_id-range
                                              buckets so sub-postings are
                                              disjoint + ordered (A7)
       → filter pmod(hash(term,salt),P) ∈ pending   [resume pruning, A11]
-      → repartition(P, term, salt) → sortWithinPartitions(term, salt, doc_id)
+      → repartition(P, term, salt) → sortWithinPartitions(term, salt)
+        [packed rows: one per (term,salt,batch) — doc_id order is restored
+        inside the encode task with a near-linear merge]
       → mapInPandas: stream runs, encode blocks (codec, A8), task writes its
         own parquet segment + manifest marker atomically  [per-partition
         lineage: a killed job leaves completed partitions durable]
@@ -43,12 +46,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from localsearchengine_spark.config import BuildConfig
-from localsearchengine_spark.functions.analyze import term_freq_frame
 from localsearchengine_spark.operators import codec
 from localsearchengine_spark.utils import atomic_write_json
 
-EMIT_SCHEMA = "term string, salt int, doc_id long, tf long, dl long"
+# One emitted row per (term, salt) PER ARROW BATCH, with the batch's
+# postings packed into array columns — the map-side combine that keeps the
+# build's one big shuffle at ~vocab×batches rows instead of one row per
+# posting (30×+ fewer rows, no per-posting UnsafeRow overhead, and the JVM
+# sort runs on the packed rows).  Postings are re-sorted by doc_id inside
+# the encode task, so the final blocks are bit-identical to a per-posting
+# shuffle regardless of batch boundaries or parallelism.
+EMIT_SCHEMA = (
+    "term string, salt int, doc_ids array<long>, tfs array<long>, dls array<long>"
+)
 EMIT_SCHEMA_POS = EMIT_SCHEMA + ", pos array<long>"
+# salts are capped at 4096 buckets (stats_hot_scan), so this packs a
+# (term_code, salt) pair into one sortable int64 group key
+_SALT_CAP = 4096
 
 def postings_arrow_schema():
     import pyarrow as pa
@@ -98,28 +112,39 @@ def stats_hot_scan(docs: DataFrame, conf: BuildConfig) -> tuple[int, int, dict[s
     """
     cfg = conf.bm25
 
-    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
-                continue
-            tff = term_freq_frame(pdf["text"], cfg)  # one (row, term, tf, dl) pass
-            n_tok = int(tff.drop_duplicates("row")["dl"].sum()) if len(tff) else 0
-            dfp = tff.groupby("term", sort=False).size() if len(tff) else pd.Series(dtype=np.int64)
-            out = pd.DataFrame(
-                {
-                    "term": dfp.index.to_numpy(dtype=object),
-                    "df_part": dfp.to_numpy(dtype=np.int64),
-                    "n_docs": np.zeros(len(dfp), dtype=np.int64),
-                    "n_tokens": np.zeros(len(dfp), dtype=np.int64),
-                }
-            )
-            sentinel = pd.DataFrame(
-                {"term": [_STATS_SENTINEL], "df_part": [0],
-                 "n_docs": [len(pdf)], "n_tokens": [n_tok]}
-            )
-            yield pd.concat([out, sentinel], ignore_index=True)
+    def partials(it):
+        import pyarrow as pa
 
-    emitted = docs.select("text").mapInPandas(
+        from localsearchengine_spark.functions.analyze import term_freq_arrow
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            res = term_freq_arrow(batch.column(0), cfg)
+            if res is None:
+                # token-less batch still counts toward N
+                terms, dfp = pa.array([], type=pa.string()), np.empty(0, np.int64)
+                n_tok = 0
+            else:
+                # per-batch df per unique term in one bincount over codes
+                dfp_all = np.bincount(res["codes"], minlength=len(res["uniq"]))
+                nz = np.flatnonzero(dfp_all)
+                terms = pa.array(res["uniq"][nz], type=pa.string())
+                dfp = dfp_all[nz].astype(np.int64)
+                n_tok = int(res["tf"].sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.concat_arrays([terms, pa.array([_STATS_SENTINEL], type=pa.string())]),
+                    pa.array(np.concatenate((dfp, [0])), type=pa.int64()),
+                    pa.array(
+                        np.concatenate((np.zeros(len(dfp), np.int64), [batch.num_rows]))
+                    ),
+                    pa.array(np.concatenate((np.zeros(len(dfp), np.int64), [n_tok]))),
+                ],
+                ["term", "df_part", "n_docs", "n_tokens"],
+            )
+
+    emitted = docs.select("text").mapInArrow(
         partials, schema="term string, df_part long, n_docs long, n_tokens long"
     )
     rows = (
@@ -164,36 +189,87 @@ def emit_postings(
 
     with_pos = bool(conf.store_positions)
 
-    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def emit(it):
+        import pyarrow as pa
+
+        from localsearchengine_spark.functions.analyze import term_freq_arrow
+
         hot = hot_bc.value
-        for pdf in it:
-            if pdf.empty:
+        for batch in it:
+            if batch.num_rows == 0:
                 continue
-            tff = term_freq_frame(pdf["text"], cfg, with_positions=with_pos)
-            if tff.empty:
+            res = term_freq_arrow(
+                batch.column(batch.schema.get_field_index("text")),
+                cfg,
+                with_positions=with_pos,
+            )
+            if res is None:
                 continue
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)[tff["row"].to_numpy()]
-            terms = tff["term"].to_numpy()
-            salts = np.zeros(len(tff), dtype=np.int32)
+            all_ids = batch.column(
+                batch.schema.get_field_index("doc_id")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_ids = all_ids[res["row"]]
+            n = len(doc_ids)
+            codes = res["codes"]
+            salts = np.zeros(n, dtype=np.int64)
             if hot:
-                s_t = np.fromiter(
-                    (hot.get(t, 0) for t in terms), dtype=np.int64, count=len(terms)
+                # hot lookup once per UNIQUE term, then a fancy-index —
+                # not a Python call per posting row
+                s_uniq = np.fromiter(
+                    (hot.get(t, 0) for t in res["uniq"]),
+                    dtype=np.int64,
+                    count=len(res["uniq"]),
                 )
+                s_t = s_uniq[codes]
                 m = s_t > 1
                 if m.any():
-                    salts[m] = ((doc_ids[m] - base) * s_t[m] // n_total).astype(np.int32)
-            out = {
-                "term": terms,
-                "salt": salts,
-                "doc_id": doc_ids,
-                "tf": tff["tf"].to_numpy(dtype=np.int64),
-                "dl": tff["dl"].to_numpy(dtype=np.int64),
-            }
+                    salts[m] = (doc_ids[m] - base) * s_t[m] // n_total
+            # pack the batch per (term, salt): one output row per group,
+            # postings sorted by doc_id inside each group
+            key = codes * _SALT_CAP + salts
+            order = np.lexsort((doc_ids, key))
+            ks = key[order]
+            first = np.empty(n, dtype=bool)
+            first[0] = True
+            np.not_equal(ks[1:], ks[:-1], out=first[1:])
+            gstarts = np.flatnonzero(first)
+            goff = np.append(gstarts, n).astype(np.int32)
+            gcodes = (ks[gstarts] // _SALT_CAP).astype(np.int64)
+            gsalts = (ks[gstarts] % _SALT_CAP).astype(np.int32)
+            dict_arr = pa.array(res["uniq"], type=pa.string())
+            tf_ord = res["tf"][order]
+            arrays = [
+                dict_arr.take(pa.array(gcodes)),
+                pa.array(gsalts, type=pa.int32()),
+                pa.ListArray.from_arrays(
+                    pa.array(goff), pa.array(doc_ids[order], type=pa.int64())
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(goff), pa.array(tf_ord, type=pa.int64())
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(goff), pa.array(res["dl"][order], type=pa.int64())
+                ),
+            ]
+            names = ["term", "salt", "doc_ids", "tfs", "dls"]
             if with_pos:
-                out["pos"] = list(tff["pos"])  # numpy int64 arrays; Arrow converts directly
-            yield pd.DataFrame(out)
+                from localsearchengine_spark.operators.merge import reorder_positions
 
-    return docs.select("doc_id", "text").mapInPandas(
+                flat = reorder_positions(
+                    res["pos_flat"], res["pos_off"][:-1].astype(np.int64),
+                    res["tf"], order,
+                )
+                pos_cum = np.concatenate(([0], np.cumsum(tf_ord)))
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(pos_cum[goff].astype(np.int32)),
+                        pa.array(flat, type=pa.int64()),
+                    )
+                )
+                names.append("pos")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return docs.select("doc_id", "text").mapInArrow(
         emit, schema=EMIT_SCHEMA_POS if with_pos else EMIT_SCHEMA
     )
 
@@ -225,7 +301,7 @@ def build_posting_partitions(
         )
     df = (
         df.repartition(P, "term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
+        .sortWithinPartitions("term", "salt")
         .withColumn("pid", F.spark_partition_id())
     )
 
@@ -264,7 +340,23 @@ def build_posting_partitions(
             d = np.concatenate(cur_docs)
             t = np.concatenate(cur_tfs)
             L = np.concatenate(cur_dls)
-            pos = np.concatenate(cur_pos) if cur_pos else None
+            # packed chunks arrive in arbitrary batch order — re-sort the
+            # group's postings by doc_id (each chunk is already sorted, so
+            # mergesort is near-linear); final blocks are bit-identical to
+            # a per-posting shuffle regardless of batching or parallelism
+            order = np.argsort(d, kind="mergesort")
+            pos = None
+            if cur_pos:
+                flat = np.concatenate(cur_pos)
+                starts = np.cumsum(t) - t
+                from localsearchengine_spark.operators.merge import reorder_positions
+
+                pos = reorder_positions(flat, starts, t, order)
+            d, t, L = d[order], t[order], L[order]
+            if len(d) > 1 and (np.diff(d) <= 0).any():
+                raise ValueError(
+                    f"duplicate doc_id in posting group {cur_key!r}"
+                )
             blocks = codec.encode_blocks(
                 d, t, L, block_size=block_size, k1=k1, b=b, avgdl=avgdl,
                 positions=pos,
@@ -301,32 +393,23 @@ def build_posting_partitions(
                 writer = pq.ParquetWriter(tmp_path, schema)
             terms = pdf["term"].to_numpy()
             salts = pdf["salt"].to_numpy()
-            docs_a = pdf["doc_id"].to_numpy(dtype=np.int64)
-            tfs_a = pdf["tf"].to_numpy(dtype=np.int64)
-            dls_a = pdf["dl"].to_numpy(dtype=np.int64)
-            pos_col = pdf["pos"] if "pos" in pdf.columns else None
-            n_postings += len(pdf)
-            # boundaries of (term, salt) runs within this batch
-            change = np.empty(len(pdf), dtype=bool)
-            change[0] = True
-            change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pdf))
-            for s, e in zip(starts, ends):
-                key = (terms[s], int(salts[s]))
+            docs_col = pdf["doc_ids"].to_numpy()
+            tfs_col = pdf["tfs"].to_numpy()
+            dls_col = pdf["dls"].to_numpy()
+            pos_col = pdf["pos"].to_numpy() if "pos" in pdf.columns else None
+            for i in range(len(pdf)):
+                key = (terms[i], int(salts[i]))
                 if cur_key is not None and key != cur_key:
                     end_run()
                 if cur_key is None:
                     cur_key = key
-                cur_docs.append(docs_a[s:e])
-                cur_tfs.append(tfs_a[s:e])
-                cur_dls.append(dls_a[s:e])
+                chunk = np.asarray(docs_col[i], dtype=np.int64)
+                n_postings += len(chunk)
+                cur_docs.append(chunk)
+                cur_tfs.append(np.asarray(tfs_col[i], dtype=np.int64))
+                cur_dls.append(np.asarray(dls_col[i], dtype=np.int64))
                 if pos_col is not None:
-                    seg = pos_col.iloc[s:e]
-                    cur_pos.append(
-                        np.concatenate([np.asarray(v, dtype=np.int64) for v in seg])
-                        if len(seg) else np.empty(0, dtype=np.int64)
-                    )
+                    cur_pos.append(np.asarray(pos_col[i], dtype=np.int64))
         end_run()
         if writer is not None:
             flush_rows(force=True)

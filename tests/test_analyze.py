@@ -90,3 +90,54 @@ def test_non_class_pattern_falls_back():
     assert separator_pattern(cfg) is None
     out = term_freq_frame(pd.Series(["it's a test"]), cfg)
     assert set(out["term"]) == {"it's", "a", "test"}
+
+
+def test_term_freq_arrow_matches_frame():
+    """The Arrow-native emit kernel must produce exactly the same
+    (row, term, tf, dl[, positions]) content as the pandas reference
+    kernel, on both the class-pattern hot path and the findall fallback."""
+    import numpy as np
+    import pyarrow as pa
+
+    from localsearchengine_spark.config import BM25Config
+    from localsearchengine_spark.functions.analyze import (
+        term_freq_arrow,
+        term_freq_frame,
+    )
+
+    texts = pd.Series(
+        [
+            "Spark SQL engine runs fast",
+            "", None, "   ", "a a a b",
+            "punct!!! and--dashes__ok 123 mixed42x",
+            "the quick the quick the",
+        ]
+    )
+    for cfg in (BM25Config(), BM25Config(token_pattern=r"[a-z]+\d*")):
+        for with_pos in (False, True):
+            exp = term_freq_frame(texts, cfg, with_positions=with_pos)
+            got = term_freq_arrow(pa.array(texts, type=pa.string()), cfg, with_positions=with_pos)
+            if not len(exp):
+                assert got is None
+                continue
+            def canon(rows):
+                return sorted(rows)
+            exp_rows = list(
+                zip(exp["row"].tolist(), exp["term"].tolist(), exp["tf"].tolist(), exp["dl"].tolist())
+            )
+            got_rows = list(
+                zip(got["row"].tolist(), got["term"].to_pylist(), got["tf"].tolist(), got["dl"].tolist())
+            )
+            assert canon(exp_rows) == canon(got_rows), (cfg.token_pattern, with_pos)
+            if with_pos:
+                exp_pos = {
+                    (r, t): list(p)
+                    for r, t, p in zip(exp["row"], exp["term"], exp["pos"])
+                }
+                off, flat = got["pos_off"], got["pos_flat"]
+                got_pos = {
+                    (r, t): flat[off[i]:off[i + 1]].tolist()
+                    for i, (r, t) in enumerate(zip(got["row"].tolist(), got["term"].to_pylist()))
+                }
+                assert exp_pos.keys() == got_pos.keys()
+                assert all(list(exp_pos[k]) == got_pos[k] for k in exp_pos)
