@@ -74,53 +74,29 @@ def term_freq_frame(
     sep = separator_pattern(cfg)
     if sep is None:
         return _term_freq_frame_pandas(texts, cfg, with_positions)
+    # thin wrapper over the ONE Arrow hot-path implementation
+    # (term_freq_arrow) — the analyzer is the #1 rank-identity knob, so
+    # there must be exactly one class-pattern tokenize+count kernel; the
+    # independent reference stays _term_freq_frame_pandas (findall path).
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    texts = texts.reset_index(drop=True).fillna("")
-    arr = pa.array(texts, type=pa.string())
-    if cfg.lowercase:
-        arr = pc.utf8_lower(arr)
-    toks = pc.split_pattern_regex(arr, sep)
-    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    if lens.sum() == 0:
+    res = term_freq_arrow(
+        pa.array(texts.reset_index(drop=True), type=pa.string()),
+        cfg,
+        with_positions=with_positions,
+    )
+    if res is None:
         return pd.DataFrame(_EMPTY_TFF)
-    enc = pc.list_flatten(toks).dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-    rows = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
-    empty = np.flatnonzero(uniq == "")
-    if len(empty):
-        sel = codes != empty[0]
-        rows, codes = rows[sel], codes[sel]
-    if len(rows) == 0:
-        return pd.DataFrame(_EMPTY_TFF)
-    dl = np.bincount(rows, minlength=len(texts))
-    V = len(uniq)
-    key = rows * V + codes
-    order = np.argsort(key, kind="stable")
-    sk = key[order]
-    first = np.empty(len(sk), dtype=bool)
-    first[0] = True
-    np.not_equal(sk[1:], sk[:-1], out=first[1:])
-    starts = np.flatnonzero(first)
-    tf = np.diff(np.append(starts, len(sk)))
-    u = sk[starts]
-    out_row = u // V
     out = pd.DataFrame(
         {
-            "row": out_row,
-            "term": uniq[(u % V).astype(np.int64)],
-            "tf": tf.astype(np.int64),
-            "dl": dl[out_row],
+            "row": res["row"],
+            "term": res["term"].to_numpy(zero_copy_only=False).astype(object),
+            "tf": res["tf"],
+            "dl": res["dl"],
         }
     )
     if with_positions:
-        # within-row token index; the stable key sort keeps each pair's
-        # occurrences in original (ascending-position) order
-        row_starts = np.cumsum(dl) - dl
-        pos_in_row = np.arange(len(rows), dtype=np.int64) - row_starts[rows]
-        out["pos"] = np.split(pos_in_row[order], starts[1:])
+        out["pos"] = np.split(res["pos_flat"], res["pos_off"][1:-1])
     return out
 
 

@@ -166,8 +166,11 @@ def stats_hot_scan(docs: DataFrame, conf: BuildConfig) -> tuple[int, int, dict[s
         else:
             s_t = int(np.ceil(r["df"] / conf.hot_df_threshold))
             # num_salts caps the per-term fan-out (bounds shuffle group
-            # count; a capped bucket may then exceed hot_df_threshold)
-            cap = conf.num_salts if conf.num_salts > 0 else 4096
+            # count; a capped bucket may then exceed hot_df_threshold).
+            # _SALT_CAP is a hard ceiling: the emit stage packs (term,
+            # salt) into code*_SALT_CAP+salt, so a salt ≥ _SALT_CAP would
+            # alias a different term's group
+            cap = min(conf.num_salts, _SALT_CAP) if conf.num_salts > 0 else _SALT_CAP
             hot[r["term"]] = int(min(s_t, cap))
     return n_docs, total_tokens, hot
 
@@ -224,6 +227,11 @@ def emit_postings(
                 m = s_t > 1
                 if m.any():
                     salts[m] = (doc_ids[m] - base) * s_t[m] // n_total
+                if salts.max(initial=0) >= _SALT_CAP:
+                    raise ValueError(
+                        f"salt bucket ≥ {_SALT_CAP} would alias another "
+                        "term's group key (stats_hot_scan must clamp)"
+                    )
             # pack the batch per (term, salt): one output row per group,
             # postings sorted by doc_id inside each group
             key = codes * _SALT_CAP + salts

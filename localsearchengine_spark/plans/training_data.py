@@ -485,24 +485,35 @@ FROM walk GROUP BY v
 
 
 def connected_components(edges, max_rounds: int = 31):
-    """(src, dst) undirected edge DataFrame → (v, label) with label = min
-    node id of v's component.  Min-label propagation + pointer jumping;
-    each round halves the label-tree depth, so rounds = O(log n) even on a
-    chain (31 caps a 2^31-node path).  One bounded driver action per round
-    (a convergence count), never a per-row collect."""
-    edges = edges.select(
+    """Edge DataFrame (first two columns = endpoints; one row per
+    undirected edge is enough — symmetrized internally) → (v, label) with
+    label = min node id of v's component.  Min-label propagation + pointer
+    jumping; each round halves the label-tree depth, so rounds = O(log n)
+    even on a chain (31 caps a 2^31-node path).  One bounded driver action
+    per round (a convergence count), never a per-row collect.  Raises if
+    the fixed point is not reached within ``max_rounds`` — unconverged
+    labels must never be returned as if exact."""
+    e = edges.select(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    # each round MUST truncate lineage (localCheckpoint, not persist): the
-    # per-round self-joins otherwise nest the previous round's logical plan
-    # and the plan tree grows exponentially — the analyzer, not the data,
-    # OOMs.  Prod would use reliable checkpoints (spark.checkpoint.dir) so
+    # each round MUST truncate lineage (localCheckpoint): the per-round
+    # self-joins otherwise nest the previous round's logical plan and the
+    # plan tree grows exponentially — the analyzer, not the data, OOMs.
+    # ONE checkpoint per round (the intermediate `stepped` stays lazy: its
+    # plan is ≤2 joins over the checkpointed lab, recomputed at most twice)
+    # and the previous round's reference is dropped immediately so the
+    # ContextCleaner can reclaim its blocks — peak storage ~2 label tables.
+    # Prod would use reliable checkpoints (spark.checkpoint.dir) so
     # executor loss can't lose the round state; local mode has no such loss.
     lab = (
         edges.select(F.col("src").alias("v")).distinct()
         .withColumn("label", F.col("v"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_rounds):
         nmin = (
             edges.join(lab, edges.dst == lab.v)
@@ -512,7 +523,6 @@ def connected_components(edges, max_rounds: int = 31):
         stepped = (
             lab.join(nmin, lab.v == nmin.src, "left")
             .select("v", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-            .localCheckpoint()
         )
         jump = stepped.select(F.col("v").alias("jv"), F.col("label").alias("jlabel"))
         new_lab = (
@@ -525,19 +535,21 @@ def connected_components(edges, max_rounds: int = 31):
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        lab = new_lab
+        lab = new_lab  # drop previous round's reference (ContextCleaner)
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
     return lab
 
 
 @q("dd07_duplicate_clusters", _DD07_SQL)
 def dd07(spark, sf_dir):
     pairs = dd05(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    lab = connected_components(edges)
+    lab = connected_components(pairs)
     sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         lab.join(F.broadcast(sizes), "label")

@@ -178,13 +178,14 @@ def test_connected_components_chain_and_forest(spark):
     separate."""
     from localsearchengine_spark.plans.training_data import connected_components
 
-    chain = [(i, i + 1) for i in range(63)]           # one 64-node path
+    chain = [(i + 1, i) for i in range(63)]           # one 64-node path
     clique = [(100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)]
     pair = [(200, 201)]
+    # one row per undirected edge, mixed orientations — the operator
+    # symmetrizes internally
     edges = chain + clique + pair
-    sym = edges + [(b, a) for a, b in edges]
-    df = spark.createDataFrame(sym, "src long, dst long")
-    got = {r["v"]: r["label"] for r in connected_components(df, max_rounds=8).collect()}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["v"]: r["label"] for r in connected_components(df, max_rounds=10).collect()}
     assert all(got[i] == 0 for i in range(64))
     assert all(got[100 + i] == 100 for i in range(4))
     assert got[200] == got[201] == 200
