@@ -153,10 +153,17 @@ def run_queries(
         "query_id", "doc_id", "term", "n_terms", "n_present", "k", contrib.alias("contrib")
     )
     if cand is not None:
+        # one pass over the decoded scan: rows of filtered queries survive
+        # only when the (query, doc) pair appears in the rare-term
+        # candidate set (a left join + flag — NOT two filter branches
+        # unioned, which would execute the decode scan twice)
         in_f = F.col("query_id").isin([int(q) for q in filtered_qids])
-        joined = joined.filter(in_f).join(
-            cand, ["query_id", "doc_id"], "left_semi"
-        ).unionByName(joined.filter(~in_f))
+        cand_flag = cand.withColumn("cand_hit", F.lit(1))
+        joined = (
+            joined.join(cand_flag, ["query_id", "doc_id"], "left")
+            .filter(~in_f | F.col("cand_hit").isNotNull())
+            .drop("cand_hit")
+        )
     # Fixed-order summation (the §2.4 determinism contract): per (query,
     # doc), contributions are sorted by term and folded left-to-right, so
     # the float64 score is bit-identical across parallelism levels and to
