@@ -39,20 +39,19 @@ def decode_postings_df(spark: SparkSession, index_dir: str, terms: list[str]) ->
     pushed pid filter skip whole row groups; merged segments carry pid -1
     and skip the pruning)."""
     rows = spark.read.parquet(os.path.join(index_dir, "postings"))
-    try:
+    from localsearchengine_spark.sources import io as lse_io
+
+    dic_ds = lse_io.open_dataset(os.path.join(index_dir, "dictionary"))
+    if "pids" in dic_ds.schema.names:  # legacy indexes predate the pid map
         import pyarrow.dataset as ds
 
-        dic = ds.dataset(
-            os.path.join(index_dir, "dictionary"), format="parquet"
-        ).to_table(
+        dic = dic_ds.to_table(
             columns=["term", "pids"],
             filter=ds.field("term").isin(sorted(set(terms))),
         )
         pids = sorted({int(p) for ps in dic["pids"].to_pylist() for p in ps})
         if pids and all(p >= 0 for p in pids):
             rows = rows.filter(F.col("pid").isin(pids))
-    except Exception:
-        pass  # older index without pids — full scan
     rows = (
         rows.filter(F.col("term").isin(sorted(set(terms))))
         .select("term", "blocks")
@@ -76,12 +75,19 @@ def decode_postings_df(spark: SparkSession, index_dir: str, terms: list[str]) ->
     return rows.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
-# AND queries whose rarest term has df below this are pre-filtered with a
-# semi-join on that term's (small) posting list before the big shuffle —
+# AND queries whose rarest term has df below the selectivity cutoff are
+# pre-filtered with that term's (small) posting list before the big shuffle —
 # the classic rare∧hot search shape then shuffles df_rare rows per query
 # instead of Σ df_t.  Queries with no selective term skip the filter (the
-# candidate set would be as large as the thing it filters).
-_SELECTIVE_DF = 50_000
+# candidate set would be as large as the thing it filters).  The cutoff
+# derives from corpus stats (round-2 verdict #5): a term is "rare" when it
+# matches ≤5% of the corpus, capped so a huge corpus doesn't call a
+# 100M-doc posting list rare.
+_SELECTIVE_DF_CAP = 1_000_000
+
+
+def _selective_df(n_docs: int) -> int:
+    return min(_SELECTIVE_DF_CAP, max(1, n_docs // 20))
 
 
 def run_queries(
@@ -127,18 +133,25 @@ def run_queries(
     cand = None
     if mode == "and":
         rare_rows = []
+        cutoff = _selective_df(index.n_docs)
         for qd in queries:
             terms = sorted(set(qd["terms"]))
             present = [(int(dic[t]["df"]), t) for t in terms if t in dic]
-            if len(present) >= 2 and min(present)[0] <= _SELECTIVE_DF:
+            if len(present) >= 2 and min(present)[0] <= cutoff:
                 rare_rows.append((int(qd["query_id"]), min(present)[1]))
         if rare_rows:
             rare_df = spark.createDataFrame(rare_rows, "query_id long, term string")
             rare_terms = sorted({t for _, t in rare_rows})
+            # .distinct(): correctness of the left-join flag below requires
+            # unique (query_id, doc_id) candidates; a healthy index never
+            # yields duplicates, but a corrupt or externally-produced segment
+            # with duplicate postings must filter, not inflate, scores
+            # (cheap — bounded by the rare terms' df).
             cand = (
                 decode_postings_df(spark, index.index_dir, rare_terms)
                 .join(F.broadcast(rare_df), "term")
                 .select("query_id", "doc_id")
+                .distinct()
             )
             filtered_qids = {qid for qid, _ in rare_rows}
 

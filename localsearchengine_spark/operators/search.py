@@ -25,7 +25,6 @@ from localsearchengine_spark.functions.analyze import tokenize_text
 from localsearchengine_spark.functions.bm25 import tf_norm_np
 from localsearchengine_spark.operators import codec
 from localsearchengine_spark.operators.wand import wand_topk
-from localsearchengine_spark.utils import read_json
 
 
 class TermPostings:
@@ -158,9 +157,12 @@ class Index:
     """Read-side handle over a built index directory."""
 
     def __init__(self, spark: SparkSession | None, index_dir: str):
+        from localsearchengine_spark.sources import io as lse_io
+
         self.spark = spark
         self.index_dir = index_dir
-        meta = read_json(os.path.join(index_dir, "meta.json"))
+        self._io = lse_io
+        meta = lse_io.read_json_uri(os.path.join(index_dir, "meta.json"))
         if meta.get("status") != "complete":
             raise RuntimeError(f"index at {index_dir} is not complete")
         self.conf = BuildConfig.from_json(meta["config"])
@@ -177,9 +179,7 @@ class Index:
         per fetch."""
         ds_obj = self._datasets.get(sub)
         if ds_obj is None:
-            import pyarrow.dataset as ds
-
-            ds_obj = ds.dataset(os.path.join(self.index_dir, sub), format="parquet")
+            ds_obj = self._io.open_dataset(os.path.join(self.index_dir, sub))
             self._datasets[sub] = ds_obj
         return ds_obj
 
@@ -218,14 +218,12 @@ class Index:
                 return {t: self._cache[t] for t in terms if self._cache.get(t)}
             src = self._dataset("postings")
             if pids:
-                import pyarrow.dataset as _pads
-
                 files = [
                     os.path.join(self.index_dir, "postings", f"part-{p:05d}.parquet")
                     for p in pids
                 ]
-                if all(os.path.exists(f) for f in files):
-                    src = _pads.dataset(files, format="parquet")
+                if all(self._io.path_exists(f) for f in files):
+                    src = self._io.open_dataset(files)
             tbl = src.to_table(
                 columns=["term", "salt", "df", "blocks"],
                 filter=ds.field("term").isin(need),

@@ -9,7 +9,9 @@ driver-provided data.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +19,22 @@ from pyspark.sql import functions as F
 
 from localsearchengine_spark.build import build_index
 from localsearchengine_spark.config import BuildConfig
+
+# All fixture corpora / indexes built for the driver contract live under ONE
+# per-process work root, removed at interpreter exit (round-2 verdict #7:
+# repeated driver runs must not accumulate /tmp/lse_* dirs).  Overridable so
+# a long-lived service can point it at a wipeable scratch volume.
+_WORK_ROOT: str | None = None
+
+
+def _workdir(prefix: str) -> str:
+    global _WORK_ROOT
+    if _WORK_ROOT is None:
+        _WORK_ROOT = tempfile.mkdtemp(
+            prefix="lse_work_", dir=os.environ.get("LSE_WORK_DIR")
+        )
+        atexit.register(shutil.rmtree, _WORK_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT)
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,7 +64,7 @@ def ensure_documents_index(
     key = (os.path.abspath(sf_dir), positions)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    src = tempfile.mkdtemp(prefix="lse_corpus_")
+    src = _workdir("lse_corpus_")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     rng = docs.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
@@ -58,7 +76,7 @@ def ensure_documents_index(
             f"equal source doc_ids (got min={rng['lo']}, max={rng['hi']}, n={rng['n']})"
         )
     documents_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
-    idx_dir = tempfile.mkdtemp(prefix="lse_index_")
+    idx_dir = _workdir("lse_index_")
     conf = BuildConfig(
         num_partitions=8, hot_df_threshold=2000, block_size=128,
         store_positions=positions,
@@ -91,15 +109,15 @@ def ensure_merged_documents_index(spark: SparkSession, sf_dir: str) -> str:
     conf = BuildConfig(num_partitions=8, hot_df_threshold=2000, block_size=128)
     part_dirs = []
     for lo, hi, base in ((0, half, 0), (half, n, half)):
-        src = tempfile.mkdtemp(prefix=f"lse_half_{base}_")
+        src = _workdir(f"lse_half_{base}_")
         documents_as_transcripts(spark, sf_dir).filter(
             (F.col("conv_id") >= F.format_string("doc%012d", F.lit(lo)))
             & (F.col("conv_id") < F.format_string("doc%012d", F.lit(hi)))
         ).write.mode("overwrite").parquet(src)
-        idx = tempfile.mkdtemp(prefix=f"lse_halfidx_{base}_")
+        idx = _workdir(f"lse_halfidx_{base}_")
         build_index(spark, src, idx, conf, doc_id_base=base)
         part_dirs.append(idx)
-    out = tempfile.mkdtemp(prefix="lse_merged_")
+    out = _workdir("lse_merged_")
     merge_indexes(spark, part_dirs, out)
     _MERGED_CACHE[key] = out
     return out
@@ -122,7 +140,7 @@ def ensure_streamed_documents_index(spark: SparkSession, sf_dir: str) -> str:
         return _STREAMED_CACHE[key]
     from localsearchengine_spark.sources.fixtures import write_transcripts_parquet
 
-    work = tempfile.mkdtemp(prefix="lse_stream_")
+    work = _workdir("lse_stream_")
     stream_dir = os.path.join(work, "drops")
     os.makedirs(stream_dir)
     # single parquet FILE per micro-batch (b0 < b1 < b2 in both mtime and
@@ -172,9 +190,9 @@ def ensure_resumed_documents_index(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key in _RESUMED_CACHE:
         return _RESUMED_CACHE[key]
-    src = tempfile.mkdtemp(prefix="lse_corpus_r_")
+    src = _workdir("lse_corpus_r_")
     documents_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
-    idx = tempfile.mkdtemp(prefix="lse_residx_")
+    idx = _workdir("lse_residx_")
     conf = BuildConfig(num_partitions=8, hot_df_threshold=2000, block_size=128)
     build_index(spark, src, idx, conf)
     # simulate losing 3 of the 8 posting partitions (files + lineage markers)

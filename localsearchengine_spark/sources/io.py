@@ -51,6 +51,55 @@ def scan_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# ---------------------------------------------------------------------------
+# Driver-local read path (round-2 verdict #3): the interactive query side
+# (Index.lookup / fetch_postings / fetch_docs, SURVEY.md §3.2) reads index
+# files directly via pyarrow for sub-ms latency.  Those reads go through the
+# helpers below so a prod index on HDFS/S3 ("hdfs://...", "s3://...") works
+# unchanged — pyarrow resolves the FileSystem from the URI; bare paths take
+# the LocalFileSystem fast path.  Spark-side scans need none of this (the
+# JVM handles URIs natively).
+# ---------------------------------------------------------------------------
+
+
+def filesystem_for(path: str):
+    """→ (pyarrow FileSystem, path normalized for that filesystem)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def open_dataset(path_or_paths):
+    """pyarrow parquet dataset over a path/URI or an explicit file list
+    (all files must live on one filesystem)."""
+    import pyarrow.dataset as ds
+
+    if isinstance(path_or_paths, (list, tuple)):
+        pairs = [filesystem_for(p) for p in path_or_paths]
+        return ds.dataset(
+            [p for _, p in pairs], format="parquet", filesystem=pairs[0][0]
+        )
+    fs, p = filesystem_for(path_or_paths)
+    return ds.dataset(p, format="parquet", filesystem=fs)
+
+
+def read_json_uri(path: str) -> dict:
+    import json
+
+    fs, p = filesystem_for(path)
+    with fs.open_input_stream(p) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def path_exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, p = filesystem_for(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
 def input_snapshot_id(source: str) -> str:
     """Pin the input for resumable builds (A11).
 

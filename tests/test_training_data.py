@@ -189,3 +189,22 @@ def test_connected_components_chain_and_forest(spark):
     assert all(got[i] == 0 for i in range(64))
     assert all(got[100 + i] == 100 for i in range(4))
     assert got[200] == got[201] == 200
+
+
+def test_documents_fixture_is_pure_ascii():
+    """mm02's SQL oracle equates DuckDB character positions/ord() with the
+    engine's UTF-8 byte stride — valid only while the documents fixture is
+    pure ASCII (octet_length == length).  Enforce it loudly for every scale
+    the driver uses, so a future fixture change fails here instead of
+    silently diverging (round-2 ADVICE #2)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        texts = pq.read_table(p, columns=["text"])["text"].to_pylist()
+        bad = [t for t in texts if t is not None and len(t.encode("utf-8")) != len(t)]
+        assert not bad, f"{sf}: {len(bad)} non-ASCII documents break the mm02 oracle"
