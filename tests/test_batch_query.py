@@ -77,3 +77,49 @@ def test_batch_scores_bit_identical_across_shuffle_partitions(spark, built_index
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert a == b  # exact float equality, including scores
+
+
+def test_or_pruning_plan_engages_and_saves_decode(spark, built_index):
+    """Round-3 verdict #2: the OR batch path must decode measurably fewer
+    posting rows than a full scan, while staying exact (exactness is pinned
+    by test_distributed_matches_oracle[or], which runs the same path)."""
+    from localsearchengine_spark.operators.batch_query import (
+        decode_postings_df,
+        decode_postings_pruned,
+        plan_or_pruning,
+    )
+
+    idx_dir, _, _ = built_index
+    index = Index(spark, idx_dir)
+    queries = golden_queries()
+    dic = index.lookup(sorted({t for q in queries for t in q["terms"]}))
+    plan = plan_or_pruning(index, queries, dic)
+    assert plan is not None
+    # on the Zipf fixture some hot term must be non-essential everywhere or
+    # some decoded term must have an active block threshold
+    assert plan["probe_terms"] or any(v > 0.0 for v in plan["tau"].values())
+    full_rows = decode_postings_df(spark, idx_dir, sorted(dic)).count()
+    spec1 = {t: (plan["tau"][t], False, None) for t in plan["decoded_terms"]}
+    phase1_rows = decode_postings_pruned(spark, idx_dir, spec1).count()
+    assert phase1_rows < full_rows, (phase1_rows, full_rows)
+
+
+def test_or_pruning_disabled_under_negative_idf(spark, built_index):
+    """Classic RSJ idf goes negative for df > N/2 terms; bound directions
+    flip, so the pruned plan must refuse and the generic path take over."""
+    from types import SimpleNamespace
+
+    from localsearchengine_spark.config import BM25Config
+    from localsearchengine_spark.operators.batch_query import plan_or_pruning
+
+    idx_dir, _, _ = built_index
+    index = Index(spark, idx_dir)
+    rsj = SimpleNamespace(
+        cfg=BM25Config(idf_variant="rsj"),
+        n_docs=index.n_docs,
+        fetch_postings=index.fetch_postings,
+    )
+    dic = {"hot": {"df": index.n_docs, "max_tf_norm": 1.0}}
+    assert (
+        plan_or_pruning(rsj, [{"query_id": 0, "terms": ["hot"], "k": 5}], dic) is None
+    )
