@@ -173,14 +173,10 @@ def _minhash_sigs(pdf_iter):
         )
 
 
-@q("dd03_minhash_lsh", _jaccard_pairs_sql(_MH_THRESHOLD))
-def dd03(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", "text").mapInPandas(
-        _minhash_sigs, schema="doc_id long, band int, k1 long, k2 long"
-    )
+def _minhash_band_candidates(sigs):
+    """Band-bucket self-join → candidate pairs (doc_a < doc_b), deduped."""
     a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -191,8 +187,11 @@ def dd03(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", _shingles_col().alias("sh"))
-    verified = (
+
+
+def _exact_jaccard_verify(cand, sh):
+    """Candidates → exact shingle-Jaccard ≥ threshold (unrounded)."""
+    return (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
         .withColumn(
@@ -202,8 +201,93 @@ def dd03(spark, sf_dir):
         )
         .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
         .filter(F.col("jaccard") >= _MH_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dd03_group_stats(spark, sf_dir) -> dict:
+    """Duplicate-group skew metric surfaced per round-2 verdict #6: how much
+    the rep collapse below shrinks the band join's input."""
+    docs = _t(spark, sf_dir, "documents")
+    row = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("n").alias("max_group"),
+        )
+        .collect()[0]
+    )
+    return {k: int(row[k]) for k in ("n_docs", "n_groups", "max_group")}
+
+
+@q("dd03_minhash_lsh", _jaccard_pairs_sql(_MH_THRESHOLD))
+def dd03(spark, sf_dir):
+    """MinHash+LSH near-dup with duplicate-group collapse (verdict #6).
+
+    An identical-text flood makes every LSH band bucket quadratic in the
+    flood size (all copies share every band key), which no bucket-level
+    heuristic can cap without losing pairs.  Structural fix: exact-duplicate
+    groups (md5(text)) collapse to one REPRESENTATIVE before the band
+    self-join, so the join is quadratic only in distinct near-dup structure,
+    never in duplicate multiplicity.  Exactness is preserved because
+    identical texts have identical shingle sets: a verified rep pair's
+    jaccard transfers verbatim to every cross-group member pair, and
+    intra-group pairs (jaccard exactly 1 when the shingle set is non-empty)
+    are emitted directly — both output-sized work, not shuffle blowup."""
+    docs = _t(spark, sf_dir, "documents")
+    members = docs.select("doc_id", "text").withColumn("fp", F.md5("text"))
+    reps = members.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    sigs = reps.select("doc_id", "text").mapInPandas(
+        _minhash_sigs, schema="doc_id long, band int, k1 long, k2 long"
+    )
+    cand = _minhash_band_candidates(sigs)
+    sh = reps.select("doc_id", _shingles_col().alias("sh"))
+    rep_pairs = _exact_jaccard_verify(cand, sh)
+
+    rep_fp = reps.select(F.col("doc_id").alias("rep_id"), "fp")
+    mem = members.select("fp", "doc_id")
+    pr = rep_pairs.select(
+        F.col("doc_a").alias("ra"), F.col("doc_b").alias("rb"), "jaccard"
+    )
+    fa = rep_fp.select(F.col("rep_id").alias("ra"), F.col("fp").alias("fpa"))
+    fb = rep_fp.select(F.col("rep_id").alias("rb"), F.col("fp").alias("fpb"))
+    ma = mem.select(F.col("fp").alias("fpa"), F.col("doc_id").alias("m_a"))
+    mb = mem.select(F.col("fp").alias("fpb"), F.col("doc_id").alias("m_b"))
+    cross = (
+        pr.join(fa, "ra")
+        .join(fb, "rb")
+        .join(ma, "fpa")
+        .join(mb, "fpb")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # intra-group: duplicates of each other, jaccard exactly 1 (non-empty
+    # shingle set ⇔ token count ≥ _NGRAM, mirroring the oracle's len(sh)>0)
+    m1 = members.filter(F.size(F.split(F.col("text"), " ")) >= _NGRAM).select(
+        "fp", "doc_id"
+    )
+    intra = (
+        m1.alias("x")
+        .join(
+            m1.alias("y"),
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = cross.unionByName(intra) if _MH_THRESHOLD <= 1.0 else cross
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------

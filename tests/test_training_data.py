@@ -12,6 +12,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql import functions as F
+
 from localsearchengine_spark.plans.relational import SPARK_QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -208,3 +210,48 @@ def test_documents_fixture_is_pure_ascii():
         texts = pq.read_table(p, columns=["text"])["text"].to_pylist()
         bad = [t for t in texts if t is not None and len(t.encode("utf-8")) != len(t)]
         assert not bad, f"{sf}: {len(bad)} non-ASCII documents break the mm02 oracle"
+
+
+def test_dd03_identical_doc_flood_stays_linear(spark, tmp_path):
+    """Verdict #6: a 1000-identical-docs flood must NOT make the LSH band
+    self-join quadratic — duplicate groups collapse to one representative,
+    so candidate volume is bounded by distinct-text structure, while the
+    output still contains every flood pair at jaccard 1."""
+    import pandas as pd
+
+    from localsearchengine_spark.plans.training_data import (
+        _minhash_band_candidates,
+        _minhash_sigs,
+        dd03_group_stats,
+    )
+
+    n_dup = 1000
+    rows = [
+        {"doc_id": i, "text": "the quick brown fox jumps over the lazy dog"}
+        for i in range(n_dup)
+    ]
+    rows += [
+        {"doc_id": n_dup + i, "text": f"wholly unrelated document number {i} talking about topic {i * 7}"}
+        for i in range(5)
+    ]
+    d = tmp_path / "flood"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    stats = dd03_group_stats(spark, str(d))
+    assert stats == {"n_docs": 1005, "n_groups": 6, "max_group": 1000}
+
+    # candidate volume over representatives: ≤ C(6,2) pairs, not ~500k
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    reps = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    sigs = reps.select("doc_id", "text").mapInPandas(
+        _minhash_sigs, schema="doc_id long, band int, k1 long, k2 long"
+    )
+    assert _minhash_band_candidates(sigs).count() <= 15
+
+    out = SPARK_QUERIES["dd03_minhash_lsh"](spark, str(d))
+    flood = out.filter((F.col("doc_a") < n_dup) & (F.col("doc_b") < n_dup))
+    assert flood.count() == n_dup * (n_dup - 1) // 2
+    assert flood.filter(F.col("jaccard") != 1.0).count() == 0
