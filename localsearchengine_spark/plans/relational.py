@@ -502,14 +502,22 @@ def b19(spark, sf_dir):
 _BM25_TERMS = ["join", "spark"]  # sorted
 
 
-def _bm25_sql(terms: list[str], k: int, mode: str, qid: int | None = None) -> str:
+def _bm25_sql(
+    terms: list[str], k: int, mode: str, qid: int | None = None,
+    excl: str | None = None,
+) -> str:
     """Independent DuckDB BM25 oracle.  With ``qid`` set, emits
     (query_id, rank, doc_id, score) — rank over the same unrounded
-    (s DESC, doc_id) order the LIMIT uses, for batch-path oracles."""
+    (s DESC, doc_id) order the LIMIT uses, for batch-path oracles.
+    ``excl`` drops docs containing that term AFTER scoring/df computation
+    (engine semantics: an exclusion never changes the positive terms' idf)."""
     cfg = BM25Config()
     tlist = ", ".join(f"'{t}'" for t in terms)
     idf = cfg.idf_sql("df.df", "stats.n")
     and_filter = f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    if excl is not None:
+        neg = f"doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = '{excl}')"
+        and_filter = f"{and_filter} AND {neg}" if and_filter else f"WHERE {neg}"
     select = "doc_id, round(s, 6) AS score"
     if qid is not None:
         select = (
@@ -673,6 +681,28 @@ scores AS (
 SELECT doc_id, round(s, 6) AS score FROM scores
 ORDER BY s DESC, doc_id LIMIT {k}
 """
+
+
+# exclusion through the minimal query language ("merge scan -window"):
+# conjunctive candidates minus docs containing the excluded term, scored
+# over the positive terms in sorted order (idf unchanged by the exclusion).
+# Puts the query-language negative path into the driver gate.
+_FTS11_TERMS = ["merge", "scan"]  # sorted
+_FTS11_EXCL = "window"
+
+
+@q("fts11_engine_exclusion", _bm25_sql(_FTS11_TERMS, 10, "and", excl=_FTS11_EXCL))
+def fts11(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    hits = index.search(
+        " ".join(_FTS11_TERMS) + " -" + _FTS11_EXCL, k=10, mode="and"
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
 
 
 @q("fts04_engine_phrase", _phrase_sql(_FTS4_PHRASE, 10))

@@ -123,3 +123,38 @@ def test_or_pruning_disabled_under_negative_idf(spark, built_index):
     assert (
         plan_or_pruning(rsj, [{"query_id": 0, "terms": ["hot"], "k": 5}], dic) is None
     )
+
+
+def test_pruned_decode_phases_partition_the_full_decode(spark, built_index):
+    """For any τ, phase-1 (tf_norm_max > τ) and its inverse complement
+    decode DISJOINT block sets whose union is exactly the full decode —
+    the invariant the two-phase OR path's exactness rests on."""
+    from localsearchengine_spark.operators.batch_query import (
+        decode_postings_df,
+        decode_postings_pruned,
+    )
+
+    idx_dir, _, _ = built_index
+    terms = ["the", "spark", "join"]
+    index = Index(spark, idx_dir)
+    post = index.fetch_postings(terms)
+    terms = sorted(post)
+    # τ strictly between each term's min and max per-block bound, so both
+    # phases are non-empty wherever the bounds spread
+    tau = {
+        t: 0.5 * float(post[t].block_bound_tfn.min() + post[t].block_bound_tfn.max())
+        for t in terms
+    }
+    spread = any(
+        post[t].block_bound_tfn.min() < post[t].block_bound_tfn.max() for t in terms
+    )
+    assert spread
+    full = decode_postings_df(spark, idx_dir, terms).collect()
+    p1 = decode_postings_pruned(
+        spark, idx_dir, {t: (tau[t], False, None) for t in terms}
+    ).collect()
+    p2 = decode_postings_pruned(
+        spark, idx_dir, {t: (tau[t], True, None) for t in terms}
+    ).collect()
+    assert len(p1) < len(full)  # τ at half the max bound must skip something
+    assert sorted(map(tuple, p1 + p2)) == sorted(map(tuple, full))
