@@ -275,6 +275,49 @@ def _contrib_col(index: Index):
     )
 
 
+def _local_topk(scored: DataFrame) -> DataFrame:
+    """Partition-local per-query top-k pre-reduce before the global ranking
+    window.  The window's partitionBy(query_id) funnels EVERY scored doc of
+    a query onto one reducer — at 10^12-doc scale a hot query is a straggler
+    by construction.  The global top-k is a subset of the union of each
+    partition's per-query top-k, so keeping only k rows per (query,
+    input-partition) first bounds the skewed shuffle to k·P rows per query
+    while leaving every surviving row's score untouched (no recompute — the
+    determinism contract is unaffected).  Input/output columns:
+    (query_id, doc_id, score, k)."""
+    cols = ["query_id", "doc_id", "score", "k"]
+
+    def prune(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "score", "doc_id"], ascending=[True, False, True]
+            )
+            keep = (
+                pdf.groupby("query_id", sort=False).cumcount().to_numpy()
+                < pdf["k"].to_numpy()
+            )
+            yield pdf[keep]
+
+    return scored.select(*cols).mapInPandas(
+        prune, schema="query_id long, doc_id long, score double, k long"
+    )
+
+
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score, k) → per-query (rank ≤ k) rows, rank over
+    (score desc, doc_id asc), after the partition-local pre-reduce."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        _local_topk(scored)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _fold_and_rank(contribs: DataFrame) -> DataFrame:
     """Fixed-order summation (§2.4 determinism contract) + per-query top-k:
     per (query, doc), contributions sort by term and fold left-to-right, so
@@ -288,13 +331,7 @@ def _fold_and_rank(contribs: DataFrame) -> DataFrame:
         ).alias("score"),
         F.first("k").alias("k"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(scored)
 
 
 def _run_queries_or_pruned(
@@ -505,10 +542,4 @@ def run_queries(
         scored = scored.filter(
             (F.col("nt") == F.col("n_terms")) & (F.col("n_present") == F.col("n_terms"))
         )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(scored)
