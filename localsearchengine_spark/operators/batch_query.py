@@ -167,6 +167,13 @@ _EPS = 1e-10
 # collect + per-term broadcast must stay bounded; correctness never depends
 # on pruning)
 _SURVIVOR_CAP = 200_000
+# auto-dispatch crossover: the pruned OR path trades one extra Spark job +
+# a driver survivor collect for decoding fewer posting rows.  Measured on
+# the 240k-doc bench corpus (BENCH.md round 3): 57% fewer decoded rows but
+# ~9s of fixed orchestration cost — a loss when the full decode is only
+# ~4M rows, a win when decode dominates.  Below this estimated posting
+# volume the single-job generic path is faster; above it pruning pays.
+_PRUNE_MIN_POSTINGS = 20_000_000
 
 
 def plan_or_pruning(index: Index, queries: list[dict], dic: dict):
@@ -344,11 +351,14 @@ def _run_queries_or_pruned(
     are the docs whose optimistic bound (partial + everything phase 1 could
     have missed) reaches a pessimistic k-th-score floor (max of the θ seed
     and the k-th best partial); every true top-k doc provably survives, and
-    the survivor set is near-k-sized per query.  Phase 2 completes EXACT
-    scores: it decodes precisely the complement — probe terms and
-    below-τ blocks — restricted to blocks containing survivors, so every
-    (term, doc) contribution is produced exactly once across the two phases
-    and the fixed-order fold sees the same rows a full decode would.
+    the survivor set is near-k-sized per query.  Phase 2 then computes EXACT
+    scores from scratch for survivors only: one decode over every query
+    term, restricted to blocks containing a survivor and filtered to
+    survivor docs — O(survivors) work, and trivially produces each
+    (term, doc) contribution exactly once for the fixed-order fold.
+    (Re-deriving survivor scores is cheaper than persisting phase 1's
+    contribution rows for reuse: the survivor set is tiny, and phase 1's
+    output can stay an un-materialized one-pass aggregation input.)
 
     Falls back (returns None) on non-positive idf or oversized survivor
     sets.  At 10^12-doc scale the θ seed's driver-side posting fetch should
@@ -360,16 +370,13 @@ def _run_queries_or_pruned(
     tau = plan["tau"]
 
     spec1 = {t: (tau[t], False, None) for t in plan["decoded_terms"]}
-    joined1 = (
+    part = (
         decode_postings_pruned(spark, index.index_dir, spec1)
         .join(F.broadcast(qdf), "term")
-        .select("query_id", "doc_id", "term", "k", _contrib_col(index).alias("contrib"))
+        .select("query_id", "doc_id", _contrib_col(index).alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("partial"))
     )
-    # materialize once: the survivor job and the final fold both consume it,
-    # and re-running the decode scan would double the work pruning saves
-    joined1 = joined1.localCheckpoint()
-
-    part = joined1.groupBy("query_id", "doc_id").agg(F.sum("contrib").alias("partial"))
     qmeta = spark.createDataFrame(
         plan["qmeta"], "query_id long, k long, rem_slack double, theta double"
     )
@@ -405,23 +412,19 @@ def _run_queries_or_pruned(
             continue
         for t in qi["present"]:
             docs_by_term.setdefault(t, set()).update(s)
-    spec2: dict[str, tuple] = {}
-    for t in plan["probe_terms"]:
-        if t in docs_by_term:
-            spec2[t] = (None, False, np.asarray(sorted(docs_by_term[t]), dtype=np.int64))
-    for t in plan["decoded_terms"]:
-        if t in docs_by_term and tau[t] > 0.0:  # some blocks were skipped
-            spec2[t] = (tau[t], True, np.asarray(sorted(docs_by_term[t]), dtype=np.int64))
-    contribs = joined1
-    if spec2:
-        joined2 = (
-            decode_postings_pruned(spark, index.index_dir, spec2)
-            .join(F.broadcast(qdf), "term")
-            .select(
-                "query_id", "doc_id", "term", "k", _contrib_col(index).alias("contrib")
-            )
+    if not docs_by_term:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
         )
-        contribs = joined1.unionByName(joined2)
+    spec2 = {
+        t: (None, False, np.asarray(sorted(d), dtype=np.int64))
+        for t, d in docs_by_term.items()
+    }
+    contribs = (
+        decode_postings_pruned(spark, index.index_dir, spec2)
+        .join(F.broadcast(qdf), "term")
+        .select("query_id", "doc_id", "term", "k", _contrib_col(index).alias("contrib"))
+    )
     surv_df = spark.createDataFrame(
         [(int(r["query_id"]), int(r["doc_id"])) for r in surv_rows],
         "query_id long, doc_id long",
@@ -435,9 +438,15 @@ def run_queries(
     index: Index,
     queries: list[dict],
     mode: str = "and",
+    prune: bool | None = None,
 ) -> DataFrame:
     """queries: [{"query_id": int, "terms": [str], "k": int}] →
-    DataFrame(query_id long, rank long, doc_id long, score double)."""
+    DataFrame(query_id long, rank long, doc_id long, score double).
+
+    ``prune`` — block-max/MaxScore pruning for OR batches: True forces it,
+    False disables it, None (default) engages it only when the estimated
+    posting volume (Σ df over the batch's terms) exceeds the measured
+    crossover where decode savings beat the extra orchestration cost."""
     cfg = index.cfg
     all_terms = sorted({t for q in queries for t in q["terms"]})
     dic = index.lookup(all_terms)
@@ -466,10 +475,12 @@ def run_queries(
         qrows, "query_id long, term string, idf double, n_terms long, n_present long, k long"
     )
 
-    if mode == "or":
-        pruned = _run_queries_or_pruned(spark, index, queries, dic, qdf)
-        if pruned is not None:
-            return pruned
+    if mode == "or" and prune is not False:
+        est_postings = sum(int(r["df"]) for r in dic.values())
+        if prune is True or est_postings >= _PRUNE_MIN_POSTINGS:
+            pruned = _run_queries_or_pruned(spark, index, queries, dic, qdf)
+            if pruned is not None:
+                return pruned
 
     decoded = decode_postings_df(spark, index.index_dir, all_terms)
 

@@ -11,13 +11,17 @@ from localsearchengine_spark.sources.fixtures import golden_queries
 from tests.oracle import oracle_search
 
 
-@pytest.mark.parametrize("mode", ["and", "or"])
-def test_distributed_matches_oracle(spark, built_index, mode):
+@pytest.mark.parametrize(
+    "mode,prune",
+    [("and", None), ("or", False), ("or", True)],
+    ids=["and", "or-generic", "or-pruned"],
+)
+def test_distributed_matches_oracle(spark, built_index, mode, prune):
     idx_dir, _, pdf = built_index
     index = Index(spark, idx_dir)
     docs = list(enumerate(pdf["text"].tolist()))
     queries = golden_queries()[::5]  # every 5th → 10 queries, keeps runtime sane
-    out = run_queries(spark, index, queries, mode=mode).collect()
+    out = run_queries(spark, index, queries, mode=mode, prune=prune).collect()
     by_q: dict[int, list] = {}
     for r in out:
         by_q.setdefault(int(r["query_id"]), []).append(
