@@ -55,96 +55,128 @@ def _postings_scan(spark: SparkSession, index_dir: str, terms: list[str]) -> Dat
     return rows.filter(F.col("term").isin(sorted(set(terms)))).select("term", "blocks")
 
 
+def _decode_arrow(rows: DataFrame) -> DataFrame:
+    """(term, blocks) → decoded long form via an Arrow-NATIVE kernel.
+
+    mapInArrow keeps the compressed block structs as Arrow buffers — per
+    RecordBatch, the per-block metadata becomes NumPy views and each varint
+    stream is ONE contiguous buffer slice decoded in a single vectorized
+    LEB128 pass (concatenated varint streams are themselves a valid
+    stream; blocks are self-contained, so `docids_from_deltas` restores
+    absolutes across block boundaries).  The earlier mapInPandas kernel
+    converted every block struct to a Python dict first — measured as the
+    dominant cost of the decode stage, dwarfing the actual varint work."""
+    from localsearchengine_spark.operators.search import _binary_offsets
+
+    def decode(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cols = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            la = cols["blocks"]
+            row_off = la.offsets.to_numpy().astype(np.int64)
+            flat = la.values
+            blk_lo, blk_hi = int(row_off[0]), int(row_off[-1])
+            if blk_hi == blk_lo:
+                continue
+            n_all = flat.field("n").to_numpy().astype(np.int64)[blk_lo:blk_hi]
+            total = int(n_all.sum())
+            streams = {}
+            for name in ("doc", "tf", "dl"):
+                ba = flat.field(f"{name}_bytes")
+                boffs = _binary_offsets(ba)
+                data = ba.buffers()[2]
+                streams[name] = bytes(data[boffs[blk_lo] : boffs[blk_hi]])
+            deltas = codec.decode_varints(streams["doc"], total)
+            doc_ids = codec.docids_from_deltas(deltas, n_all)
+            tfs = codec.decode_varints(streams["tf"], total).astype(np.int64)
+            dls = codec.decode_varints(streams["dl"], total).astype(np.int64)
+            cs = np.concatenate(([0], np.cumsum(n_all)))
+            per_row = cs[row_off - blk_lo][1:] - cs[row_off - blk_lo][:-1]
+            term_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), per_row)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["term"].take(pa.array(term_idx)),
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(tfs, type=pa.int64()),
+                    pa.array(dls, type=pa.int64()),
+                ],
+                names=["term", "doc_id", "tf", "dl"],
+            )
+
+    return rows.select("term", "blocks").mapInArrow(decode, schema=DECODED_SCHEMA)
+
+
 def decode_postings_df(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
     """Term-filtered postings scan → decoded long form, distributed."""
-    rows = _postings_scan(spark, index_dir, terms)
-
-    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
-                continue
-            outs = []
-            for term, blocks in zip(pdf["term"], pdf["blocks"]):
-                d, t, L = codec.decode_blocks(list(blocks))
-                outs.append(
-                    pd.DataFrame(
-                        {"term": np.repeat(term, len(d)), "doc_id": d, "tf": t, "dl": L}
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    return rows.mapInPandas(decode, schema=DECODED_SCHEMA)
+    return _decode_arrow(_postings_scan(spark, index_dir, terms))
 
 
-def decode_postings_pruned(
-    spark: SparkSession, index_dir: str, spec: dict
+def filter_blocks_tau(
+    rows: DataFrame, spark: SparkSession, tau: dict[str, float], inverse: bool = False
 ) -> DataFrame:
-    """Block-skipping decode (round-2 verdict #2): the per-block
-    ``tf_norm_max`` / ``max_doc_id`` struct fields already in the scan gate
-    which blocks are varint-decoded at all.
+    """JVM-side block-max pruning (round-2 verdict #2): drop whole blocks by
+    their persisted ``tf_norm_max`` BEFORE their bytes ever reach a Python
+    worker — a Catalyst higher-order `filter` over the block array against a
+    broadcast per-term threshold.  ``inverse`` keeps the exact complement
+    (tf_norm_max ≤ τ), so a two-phase caller touches every block once.
 
-    ``spec``: term → (tau, inverse, docs) where
-      * ``tau``     — tf_norm_max threshold; ``None`` keeps every block,
-                      else keep blocks with tf_norm_max > tau (or ≤ tau when
-                      ``inverse`` — the exact complement, so a two-phase
-                      caller decodes every block exactly once);
-      * ``docs``    — optional sorted int64 array; a block is decoded only
-                      if its (prev_block_max, max_doc_id] range contains one
-                      of these docIDs, and decoded rows are filtered to them
-                      (blocks are self-contained and ascending within a
-                      (term, salt) row, so prev-block max bounds the range).
-    """
-    terms = sorted(spec)
-    rows = _postings_scan(spark, index_dir, terms)
-    bc = spark.sparkContext.broadcast(spec)
+    This is the load-bearing design point: skipping inside the Python
+    kernel saves only the (cheap, vectorized) varint decode while still
+    paying Arrow→Python conversion per block; filtering in the JVM means a
+    skipped block is never serialized out of the scan at all."""
+    tau_df = spark.createDataFrame(
+        [(t, float(v)) for t, v in tau.items()], "term string, tau double"
+    )
+    if inverse:
+        pred = lambda b: b["tf_norm_max"] <= F.col("tau")  # noqa: E731
+    else:
+        pred = lambda b: b["tf_norm_max"] > F.col("tau")  # noqa: E731
+    return (
+        rows.join(F.broadcast(tau_df), "term")
+        .withColumn("blocks", F.filter("blocks", pred))
+        .drop("tau")
+        .filter(F.size("blocks") > 0)
+    )
 
-    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sp = bc.value
-        for pdf in it:
-            if pdf.empty:
-                continue
-            outs = []
-            for term, blocks in zip(pdf["term"], pdf["blocks"]):
-                tau, inverse, docs = sp[term]
-                blist = list(blocks)
-                if not blist:
-                    continue
-                nb = len(blist)
-                if tau is not None:
-                    tfn = np.fromiter(
-                        (b["tf_norm_max"] for b in blist), dtype=np.float64, count=nb
-                    )
-                    keep = (tfn <= tau) if inverse else (tfn > tau)
-                else:
-                    keep = np.ones(nb, dtype=bool)
-                if docs is not None:
-                    m = np.fromiter(
-                        (b["max_doc_id"] for b in blist), dtype=np.int64, count=nb
-                    )
-                    prev = np.concatenate(([np.int64(-1)], m[:-1]))
-                    keep &= np.searchsorted(docs, m, side="right") > np.searchsorted(
-                        docs, prev, side="right"
-                    )
-                kept = [b for b, kk in zip(blist, keep) if kk]
-                if not kept:
-                    continue
-                d, t, L = codec.decode_blocks(kept)
-                if docs is not None and len(docs):
-                    pos = np.minimum(np.searchsorted(docs, d), len(docs) - 1)
-                    sel = docs[pos] == d
-                    d, t, L = d[sel], t[sel], L[sel]
-                    if not len(d):
-                        continue
-                outs.append(
-                    pd.DataFrame(
-                        {"term": np.repeat(term, len(d)), "doc_id": d, "tf": t, "dl": L}
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
-    return rows.mapInPandas(decode, schema=DECODED_SCHEMA)
+def filter_blocks_docs(
+    rows: DataFrame, spark: SparkSession, docs_by_term: dict
+) -> DataFrame:
+    """JVM-side survivor-range pruning: keep block i of a (term, salt) row
+    only if some target docID lands in its (prev_block_max, max_doc_id]
+    range (blocks are ascending and self-contained within a row).  The
+    per-term sorted docID list rides in as a broadcast array column; the
+    whole test stays in whole-stage codegen.  Rows for non-target docs that
+    share a kept block still decode — callers drop them with their
+    downstream (query_id, doc_id) semi-join."""
+    docs_df = spark.createDataFrame(
+        [(t, [int(x) for x in sorted(d)]) for t, d in docs_by_term.items()],
+        "term string, sdocs array<bigint>",
+    )
+    return (
+        rows.join(F.broadcast(docs_df), "term")
+        .withColumn(
+            "blocks",
+            F.filter(
+                "blocks",
+                lambda b, i: F.exists(
+                    F.col("sdocs"),
+                    lambda s: (s <= b["max_doc_id"])
+                    & (
+                        s
+                        > F.when(i == F.lit(0), F.lit(-1)).otherwise(
+                            F.element_at(F.col("blocks"), i)["max_doc_id"]
+                        )
+                    ),
+                ),
+            ),
+        )
+        .drop("sdocs")
+        .filter(F.size("blocks") > 0)
+    )
 
 
 # AND queries whose rarest term has df below the selectivity cutoff are
@@ -167,13 +199,6 @@ _EPS = 1e-10
 # collect + per-term broadcast must stay bounded; correctness never depends
 # on pruning)
 _SURVIVOR_CAP = 200_000
-# auto-dispatch crossover: the pruned OR path trades one extra Spark job +
-# a driver survivor collect for decoding fewer posting rows.  Measured on
-# the 240k-doc bench corpus (BENCH.md round 3): 57% fewer decoded rows but
-# ~9s of fixed orchestration cost — a loss when the full decode is only
-# ~4M rows, a win when decode dominates.  Below this estimated posting
-# volume the single-job generic path is faster; above it pruning pays.
-_PRUNE_MIN_POSTINGS = 20_000_000
 
 
 def plan_or_pruning(index: Index, queries: list[dict], dic: dict):
@@ -369,10 +394,13 @@ def _run_queries_or_pruned(
         return None
     tau = plan["tau"]
 
-    spec1 = {t: (tau[t], False, None) for t in plan["decoded_terms"]}
+    phase1 = _decode_arrow(
+        filter_blocks_tau(
+            _postings_scan(spark, index.index_dir, plan["decoded_terms"]), spark, tau
+        )
+    )
     part = (
-        decode_postings_pruned(spark, index.index_dir, spec1)
-        .join(F.broadcast(qdf), "term")
+        phase1.join(F.broadcast(qdf), "term")
         .select("query_id", "doc_id", _contrib_col(index).alias("contrib"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("partial"))
@@ -380,12 +408,20 @@ def _run_queries_or_pruned(
     qmeta = spark.createDataFrame(
         plan["qmeta"], "query_id long, k long, rem_slack double, theta double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("partial"), F.asc("doc_id"))
-    part = part.withColumn("rn", F.row_number().over(w)).join(
-        F.broadcast(qmeta), "query_id"
-    )
-    kth = part.filter(F.col("rn") == F.col("k")).select(
-        "query_id", F.col("partial").alias("kth_partial")
+    part = part.join(F.broadcast(qmeta), "query_id")
+    # k-th best partial per query WITHOUT a full window: the naive
+    # row_number() over partitionBy(query_id) funnels every partial of a
+    # query onto one reducer (the exact straggler _local_topk exists for),
+    # so pre-reduce to k rows per (query, partition) first — the k-th best
+    # global partial is invariant under that cut.  Both consumers of `part`
+    # (this and the survivor filter below) read the same groupBy exchange,
+    # which AQE reuses rather than re-decoding phase 1.
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    kth = (
+        _local_topk(part.select("query_id", "doc_id", F.col("partial").alias("score"), "k"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("k"))
+        .select("query_id", F.col("score").alias("kth_partial"))
     )
     surv_rows = (
         part.join(F.broadcast(kth), "query_id", "left")
@@ -416,12 +452,14 @@ def _run_queries_or_pruned(
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
         )
-    spec2 = {
-        t: (None, False, np.asarray(sorted(d), dtype=np.int64))
-        for t, d in docs_by_term.items()
-    }
     contribs = (
-        decode_postings_pruned(spark, index.index_dir, spec2)
+        _decode_arrow(
+            filter_blocks_docs(
+                _postings_scan(spark, index.index_dir, sorted(docs_by_term)),
+                spark,
+                docs_by_term,
+            )
+        )
         .join(F.broadcast(qdf), "term")
         .select("query_id", "doc_id", "term", "k", _contrib_col(index).alias("contrib"))
     )
@@ -443,10 +481,17 @@ def run_queries(
     """queries: [{"query_id": int, "terms": [str], "k": int}] →
     DataFrame(query_id long, rank long, doc_id long, score double).
 
-    ``prune`` — block-max/MaxScore pruning for OR batches: True forces it,
-    False disables it, None (default) engages it only when the estimated
-    posting volume (Σ df over the batch's terms) exceeds the measured
-    crossover where decode savings beat the extra orchestration cost."""
+    ``prune`` — block-max/MaxScore pruning for OR batches: True engages the
+    two-phase plan (exactness driver-gated by fts08), anything else takes
+    the single-job path.  Auto-engaging by estimated posting volume was
+    measured OFF twice (BENCH.md round 3): with the JVM block filter and
+    the Arrow-native decode kernel the decode work pruning saves is no
+    longer the bottleneck, and the two-phase plan's second postings scan +
+    second shuffle round lost at BOTH 4M postings (5.5s vs 10.8s) and 40M
+    postings (41.7s vs 87.6s), the gap growing with scale.  The pruned
+    plan's remaining value is as the decode-volume bound for IO-bound
+    stores where a skipped block is an unread byte range — re-measure
+    there before re-enabling any auto dispatch."""
     cfg = index.cfg
     all_terms = sorted({t for q in queries for t in q["terms"]})
     dic = index.lookup(all_terms)
@@ -475,12 +520,10 @@ def run_queries(
         qrows, "query_id long, term string, idf double, n_terms long, n_present long, k long"
     )
 
-    if mode == "or" and prune is not False:
-        est_postings = sum(int(r["df"]) for r in dic.values())
-        if prune is True or est_postings >= _PRUNE_MIN_POSTINGS:
-            pruned = _run_queries_or_pruned(spark, index, queries, dic, qdf)
-            if pruned is not None:
-                return pruned
+    if mode == "or" and prune is True:
+        pruned = _run_queries_or_pruned(spark, index, queries, dic, qdf)
+        if pruned is not None:
+            return pruned
 
     decoded = decode_postings_df(spark, index.index_dir, all_terms)
 

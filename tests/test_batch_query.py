@@ -88,8 +88,10 @@ def test_or_pruning_plan_engages_and_saves_decode(spark, built_index):
     posting rows than a full scan, while staying exact (exactness is pinned
     by test_distributed_matches_oracle[or], which runs the same path)."""
     from localsearchengine_spark.operators.batch_query import (
+        _decode_arrow,
+        _postings_scan,
         decode_postings_df,
-        decode_postings_pruned,
+        filter_blocks_tau,
         plan_or_pruning,
     )
 
@@ -103,8 +105,11 @@ def test_or_pruning_plan_engages_and_saves_decode(spark, built_index):
     # some decoded term must have an active block threshold
     assert plan["probe_terms"] or any(v > 0.0 for v in plan["tau"].values())
     full_rows = decode_postings_df(spark, idx_dir, sorted(dic)).count()
-    spec1 = {t: (plan["tau"][t], False, None) for t in plan["decoded_terms"]}
-    phase1_rows = decode_postings_pruned(spark, idx_dir, spec1).count()
+    phase1_rows = _decode_arrow(
+        filter_blocks_tau(
+            _postings_scan(spark, idx_dir, plan["decoded_terms"]), spark, plan["tau"]
+        )
+    ).count()
     assert phase1_rows < full_rows, (phase1_rows, full_rows)
 
 
@@ -134,8 +139,10 @@ def test_pruned_decode_phases_partition_the_full_decode(spark, built_index):
     decode DISJOINT block sets whose union is exactly the full decode —
     the invariant the two-phase OR path's exactness rests on."""
     from localsearchengine_spark.operators.batch_query import (
+        _decode_arrow,
+        _postings_scan,
         decode_postings_df,
-        decode_postings_pruned,
+        filter_blocks_tau,
     )
 
     idx_dir, _, _ = built_index
@@ -154,11 +161,11 @@ def test_pruned_decode_phases_partition_the_full_decode(spark, built_index):
     )
     assert spread
     full = decode_postings_df(spark, idx_dir, terms).collect()
-    p1 = decode_postings_pruned(
-        spark, idx_dir, {t: (tau[t], False, None) for t in terms}
+    p1 = _decode_arrow(
+        filter_blocks_tau(_postings_scan(spark, idx_dir, terms), spark, tau)
     ).collect()
-    p2 = decode_postings_pruned(
-        spark, idx_dir, {t: (tau[t], True, None) for t in terms}
+    p2 = _decode_arrow(
+        filter_blocks_tau(_postings_scan(spark, idx_dir, terms), spark, tau, inverse=True)
     ).collect()
-    assert len(p1) < len(full)  # τ at half the max bound must skip something
+    assert len(p1) < len(full)  # τ between the bound extremes must skip something
     assert sorted(map(tuple, p1 + p2)) == sorted(map(tuple, full))
