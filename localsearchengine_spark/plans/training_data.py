@@ -961,3 +961,160 @@ def mm02(spark, sf_dir):
         _frame_stub,
         schema="doc_id long, frame_idx long, n_bytes long, f_sum double, f_len double",
     )
+
+
+# ---------------------------------------------------------------------------
+# TX4 — benchmark DECONTAMINATION: the n-gram-overlap check every serious
+# training pipeline runs before training (cf. GPT-3 App. C / Llama-2 §A.6
+# style 3-gram overlap).  The "benchmark" here is a deterministic slice of
+# the corpus (doc_id % 50 == 0) standing in for an eval set; its distinct
+# word 3-grams are small by construction, so they BROADCAST and the
+# per-document overlap is a map-side semi-probe + one partial-aggregated
+# groupBy(doc_id) — no all-pairs work, no skewed shuffle, the shape that
+# holds when "documents" is 100 TB and the benchmark set is millions of
+# n-grams.  Contamination = |doc 3-grams ∩ benchmark 3-grams| / |doc
+# 3-grams|; the decision inputs are integer-exact counts.
+# ---------------------------------------------------------------------------
+_TX4_BENCH_MOD = 50
+
+_TX4_SQL = f"""
+WITH s AS (SELECT doc_id, {_shingles_sql()} AS sh FROM documents),
+b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % {_TX4_BENCH_MOD} = 0),
+e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s
+      WHERE doc_id % {_TX4_BENCH_MOD} <> 0 AND len(sh) > 0)
+SELECT e.doc_id,
+       CAST(any_value(e.n) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+       round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / any_value(e.n), 6) AS contamination
+FROM e LEFT JOIN b ON e.g = b.g
+GROUP BY e.doc_id
+"""
+
+
+@q("tx04_decontamination", _TX4_SQL)
+def tx04(spark, sf_dir):
+    sh = _t(spark, sf_dir, "documents").select("doc_id", _shingles_col().alias("sh"))
+    bench = (
+        sh.filter(F.col("doc_id") % _TX4_BENCH_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    e = sh.filter((F.col("doc_id") % _TX4_BENCH_MOD != 0) & (F.size("sh") > 0)).select(
+        "doc_id", F.size("sh").cast("long").alias("n"), F.explode("sh").alias("g")
+    )
+    return (
+        e.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "overlap",
+            F.round(F.col("overlap") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAMP1 — deterministic STRATIFIED SAMPLING (proportional-to-target): two
+# passes, both scale-free.  Pass 1 counts each stratum (groupBy(lang) — a
+# handful of rows, broadcast back); pass 2 keeps a document iff its md5
+# hash bucket falls under the stratum's acceptance rate, decided by the
+# integer cross-multiplication  bucket·cnt < target·BUCKETS  (no float
+# rate, so Spark and DuckDB agree bit-for-bit, and re-runs / repartitions
+# keep the EXACT same sample — the property that matters when the sample
+# seeds a training mix that must be reproducible).  Strata smaller than the
+# target are kept whole, the natural degenerate case of the inequality.
+# ---------------------------------------------------------------------------
+_SAMP_TARGET = 40
+_SAMP_BUCKETS = 1_000_000
+
+_SAMP_SQL = f"""
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang,
+       CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % {_SAMP_BUCKETS} AS BIGINT) AS bucket
+FROM documents d JOIN c USING (lang)
+WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {_SAMP_BUCKETS} * c.cnt < {_SAMP_TARGET} * {_SAMP_BUCKETS}
+"""
+
+
+@q("samp01_stratified_sample", _SAMP_SQL)
+def samp01(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _SAMP_BUCKETS
+    )
+    return (
+        docs.join(F.broadcast(cnt), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") * F.col("cnt") < F.lit(_SAMP_TARGET * _SAMP_BUCKETS))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DD8 — the dedup DECISION: which copy to keep.  dd07 names the clusters;
+# a pipeline needs a keep/drop bit per document.  Canonical = the highest-
+# quality member (longest n_chars, doc_id ascending tie-break) of each
+# duplicate cluster; documents outside any near-dup pair are their own
+# singleton cluster and trivially kept.  The per-cluster window is safe at
+# scale because duplicate clusters are small by nature (and dd03/dd07 cap
+# pathological identical-doc floods upstream); the labels⋈documents join is
+# a plain equi-join on doc_id that AQE broadcasts when the dup graph is
+# small relative to the corpus.
+# ---------------------------------------------------------------------------
+_DD08_SQL = f"""
+WITH RECURSIVE
+pairs AS ({_jaccard_pairs_sql(_NJ_THRESHOLD)}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS v FROM edges),
+walk(v, l) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.src, walk.l FROM edges e JOIN walk ON walk.v = e.dst
+),
+labels AS (SELECT v AS doc_id, min(l) AS cluster FROM walk GROUP BY v),
+alldocs AS (
+  SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster, d.n_chars
+  FROM documents d LEFT JOIN labels lab USING (doc_id)
+)
+SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN row_number() OVER (PARTITION BY cluster
+                 ORDER BY n_chars DESC, doc_id) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM alldocs
+"""
+
+
+@q("dd08_canonical_docs", _DD08_SQL)
+def dd08(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = dd05(spark, sf_dir).select("doc_a", "doc_b")
+    lab = connected_components(pairs).select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster")
+    )
+    alldocs = docs.join(lab, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("cluster", "doc_id")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return alldocs.select(
+        "doc_id",
+        "cluster",
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
