@@ -316,23 +316,39 @@ def _local_topk(scored: DataFrame) -> DataFrame:
     input-partition) first bounds the skewed shuffle to k·P rows per query
     while leaving every surviving row's score untouched (no recompute — the
     determinism contract is unaffected).  Input/output columns:
-    (query_id, doc_id, score, k)."""
+    (query_id, doc_id, score, k).
+
+    Arrow-native kernel (same reasoning as `_decode_arrow`): the original
+    mapInPandas version spent its time in Arrow→pandas conversion plus
+    pandas sort_values/groupby — profiled as the dominant stage of the
+    whole OR batch at 2.4M docs.  One numpy lexsort + a vectorized
+    per-group cumcount does the identical cut (top-k per (query, Arrow
+    batch), ties by doc_id asc) with none of that overhead."""
     cols = ["query_id", "doc_id", "score", "k"]
 
-    def prune(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(
-                ["query_id", "score", "doc_id"], ascending=[True, False, True]
-            )
-            keep = (
-                pdf.groupby("query_id", sort=False).cumcount().to_numpy()
-                < pdf["k"].to_numpy()
-            )
-            yield pdf[keep]
+    def prune(batches):
+        import pyarrow as pa
 
-    return scored.select(*cols).mapInPandas(
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            col = {n: rb.column(i) for i, n in enumerate(names)}
+            qid = col["query_id"].to_numpy(zero_copy_only=False)
+            doc = col["doc_id"].to_numpy(zero_copy_only=False)
+            score = col["score"].to_numpy(zero_copy_only=False)
+            k = col["k"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((doc, -score, qid))
+            qs = qid[order]
+            idx = np.arange(len(qs), dtype=np.int64)
+            group_start = np.maximum.accumulate(
+                np.where(np.concatenate(([True], qs[1:] != qs[:-1])), idx, 0)
+            )
+            cumcount = idx - group_start
+            keep = order[cumcount < k[order]]
+            yield rb.take(pa.array(np.sort(keep)))
+
+    return scored.select(*cols).mapInArrow(
         prune, schema="query_id long, doc_id long, score double, k long"
     )
 
