@@ -109,9 +109,26 @@ def _decode_arrow(rows: DataFrame) -> DataFrame:
     return rows.select("term", "blocks").mapInArrow(decode, schema=DECODED_SCHEMA)
 
 
+def _drop_deleted(df: DataFrame, spark: SparkSession, index_dir: str) -> DataFrame:
+    """A22: exclude tombstoned docs from a decoded postings DataFrame.  The
+    tombstone files are read as a distributed scan (never collected); the
+    anti-join broadcasts because a live tombstone set is small relative to
+    the corpus by design — compaction is the pressure valve."""
+    from localsearchengine_spark.sources import io as lse_io
+
+    tdir = os.path.join(index_dir, "tombstones")
+    if not lse_io.path_exists(tdir):
+        return df
+    ts = spark.read.parquet(tdir).select("doc_id").distinct()
+    return df.join(F.broadcast(ts), "doc_id", "left_anti")
+
+
 def decode_postings_df(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
-    """Term-filtered postings scan → decoded long form, distributed."""
-    return _decode_arrow(_postings_scan(spark, index_dir, terms))
+    """Term-filtered postings scan → decoded long form, distributed;
+    tombstoned docs excluded."""
+    return _drop_deleted(
+        _decode_arrow(_postings_scan(spark, index_dir, terms)), spark, index_dir
+    )
 
 
 def filter_blocks_tau(
@@ -410,11 +427,17 @@ def _run_queries_or_pruned(
         return None
     tau = plan["tau"]
 
-    phase1 = _decode_arrow(
-        filter_blocks_tau(
-            _postings_scan(spark, index.index_dir, plan["decoded_terms"]), spark, tau
-        )
+    phase1 = _drop_deleted(
+        _decode_arrow(
+            filter_blocks_tau(
+                _postings_scan(spark, index.index_dir, plan["decoded_terms"]), spark, tau
+            )
+        ),
+        spark,
+        index.index_dir,
     )
+    # (phase 2 needs no explicit tombstone filter: its contributions are
+    # semi-joined to phase-1 survivors, which already exclude deleted docs)
     part = (
         phase1.join(F.broadcast(qdf), "term")
         .select("query_id", "doc_id", _contrib_col(index).alias("contrib"))

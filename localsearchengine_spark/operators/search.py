@@ -39,12 +39,14 @@ class TermPostings:
     __slots__ = (
         "term", "idf", "df", "blocks", "block_max_doc", "block_bound_tfn",
         "block_counts", "_streams", "_avgdl", "_cfg", "_block_cache", "_full",
+        "_ts", "_live_counts",
     )
 
     def __init__(self, term, blocks, idf, df, avgdl, cfg,
                  streams: "codec.StreamBlocks | None" = None,
                  block_max_doc: np.ndarray | None = None,
-                 block_bound_tfn: np.ndarray | None = None):
+                 block_bound_tfn: np.ndarray | None = None,
+                 tombstones: np.ndarray | None = None):
         self.term = term
         self.blocks = blocks  # raw dicts (legacy layout; None with streams)
         self.idf = float(idf)
@@ -66,6 +68,15 @@ class TermPostings:
         self._cfg = cfg
         self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._full: tuple[np.ndarray, np.ndarray] | None = None
+        # A22: tombstoned docIDs are masked at decode, so every consumer
+        # (WAND, AND/OR intersection, phrase) excludes deleted docs for
+        # free; block metadata stays as-built, which keeps WAND exact —
+        # removing entries can only lower a block's true max below its
+        # recorded upper bound, never above.
+        self._ts = (
+            tombstones if tombstones is not None and len(tombstones) else None
+        )
+        self._live_counts: np.ndarray | None = None
 
     @property
     def n_blocks(self) -> int:
@@ -79,9 +90,20 @@ class TermPostings:
                 ids, tfs, dls = self._streams.decode_block(i)
             else:
                 ids, tfs, dls = codec.decode_blocks([self.blocks[i]])
+            ids, tfs, dls = self._mask_deleted(ids, tfs, dls)
             hit = (ids, tf_norm_np(tfs, dls, self._avgdl, self._cfg))
             self._block_cache[i] = hit
         return hit
+
+    def _mask_deleted(self, ids, tfs, dls):
+        if self._ts is None or len(ids) == 0:
+            return ids, tfs, dls
+        pos = np.searchsorted(self._ts, ids)
+        dead = self._ts[np.minimum(pos, len(self._ts) - 1)] == ids
+        if not dead.any():
+            return ids, tfs, dls
+        live = ~dead
+        return ids[live], tfs[live], dls[live]
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         if self._full is None:
@@ -89,8 +111,31 @@ class TermPostings:
                 ids, tfs, dls = self._streams.decode_all()
             else:
                 ids, tfs, dls = codec.decode_blocks(self.blocks)
+            if self._ts is not None and len(ids):
+                pos = np.searchsorted(self._ts, ids)
+                live = self._ts[np.minimum(pos, len(self._ts) - 1)] != ids
+                # per-block LIVE counts: consumers gathering block membership
+                # out of the full decode (wand's fast path) must align with
+                # the masked array, not the as-built block sizes
+                cuts = np.concatenate(([0], np.cumsum(self.block_counts)[:-1]))
+                self._live_counts = np.add.reduceat(
+                    live.astype(np.int64), cuts
+                )
+                ids, tfs, dls = ids[live], tfs[live], dls[live]
+            else:
+                self._live_counts = self.block_counts
             self._full = (ids, tf_norm_np(tfs, dls, self._avgdl, self._cfg))
         return self._full
+
+    @property
+    def block_counts_live(self) -> np.ndarray:
+        """Per-block posting counts AFTER tombstone masking (≡ block_counts
+        on an index without deletes)."""
+        if self._ts is None:
+            return self.block_counts
+        if self._live_counts is None:
+            self.decode_all()
+        return self._live_counts
 
     # ---- eager views (AND/OR paths, tests) --------------------------------
     @property
@@ -172,6 +217,22 @@ class Index:
         self.meta = meta
         self._cache: dict[str, TermPostings | None] = {}
         self._datasets: dict[str, object] = {}
+        # A22: tombstones present at handle-open time are honored by every
+        # read path; deletes issued against a live handle need
+        # reload_tombstones() (the posting cache must drop its masked
+        # decodes).  Stats (N/avgdl/idf) stay as-built until compact().
+        from localsearchengine_spark.operators.delete import load_tombstones
+
+        self.tombstones: np.ndarray = load_tombstones(index_dir)
+
+    def reload_tombstones(self) -> int:
+        """Re-read the tombstone set and invalidate cached postings; returns
+        the tombstone count now in effect."""
+        from localsearchengine_spark.operators.delete import load_tombstones
+
+        self.tombstones = load_tombstones(self.index_dir)
+        self._cache.clear()
+        return int(len(self.tombstones))
 
     def _dataset(self, sub: str):
         """Cached pyarrow dataset handle — opening a dataset re-reads every
@@ -282,6 +343,7 @@ class Index:
                     streams=codec.StreamBlocks(counts, bufs, offs),
                     block_max_doc=md_all[blk_idx],
                     block_bound_tfn=tfn_all[blk_idx],
+                    tombstones=self.tombstones,
                 )
         return {t: self._cache[t] for t in terms if self._cache.get(t) is not None}
 

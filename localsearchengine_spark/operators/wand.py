@@ -151,7 +151,7 @@ def wand_topk(plists, k: int, cfg: BM25Config) -> list[tuple[int, float]]:
             # low selectivity: one full decode + one boolean gather beats
             # a Python loop over hundreds of 128-entry blocks
             ids_all, _ = p.decode_all()
-            cand_parts.append(ids_all[np.repeat(keep, p.block_counts)])
+            cand_parts.append(ids_all[np.repeat(keep, p.block_counts_live)])
         else:
             for b in kept:
                 ids, _ = p.decode_block(int(b))

@@ -226,3 +226,37 @@ def ensure_resumed_documents_index(spark: SparkSession, sf_dir: str) -> str:
         raise RuntimeError("resume left temp files behind")
     _RESUMED_CACHE[key] = idx
     return idx
+
+
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+def ensure_compacted_documents_index(
+    spark: SparkSession, sf_dir: str, pred_mod: int = 7, pred_rem: int = 3
+) -> str:
+    """fts12 fixture: a PRIVATE copy of the documents index (tombstones on
+    the shared cached index would leak deletions into every other fts row),
+    with doc_id % pred_mod == pred_rem tombstoned and then compacted.  The
+    compacted index keeps the surviving source doc_ids, so the driver's SQL
+    oracle is the plain BM25 oracle over the predicate-filtered corpus."""
+    from localsearchengine_spark.operators.delete import compact, delete_docs
+
+    key = os.path.abspath(sf_dir)
+    if key in _COMPACT_CACHE:
+        return _COMPACT_CACHE[key]
+    base = ensure_documents_index(spark, sf_dir)
+    work = _workdir("lse_delidx_")
+    shutil.rmtree(work)
+    shutil.copytree(base, work)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    victims = [
+        int(r["doc_id"])
+        for r in docs.filter(F.col("doc_id") % pred_mod == pred_rem)
+        .select("doc_id")
+        .collect()
+    ]
+    delete_docs(work, victims)
+    out = _workdir("lse_compacted_")
+    compact(spark, work, out)
+    _COMPACT_CACHE[key] = out
+    return out

@@ -504,14 +504,21 @@ _BM25_TERMS = ["join", "spark"]  # sorted
 
 def _bm25_sql(
     terms: list[str], k: int, mode: str, qid: int | None = None,
-    excl: str | None = None,
+    excl: str | None = None, where: str | None = None,
 ) -> str:
     """Independent DuckDB BM25 oracle.  With ``qid`` set, emits
     (query_id, rank, doc_id, score) — rank over the same unrounded
     (s DESC, doc_id) order the LIMIT uses, for batch-path oracles.
     ``excl`` drops docs containing that term AFTER scoring/df computation
-    (engine semantics: an exclusion never changes the positive terms' idf)."""
+    (engine semantics: an exclusion never changes the positive terms' idf).
+    ``where`` restricts the CORPUS itself before any stat (N, avgdl, df) is
+    computed — the oracle for an index whose docs were deleted + compacted
+    (fts12): compaction must be indistinguishable from building over the
+    filtered corpus."""
     cfg = BM25Config()
+    docs_rel = (
+        f"(SELECT * FROM documents WHERE {where})" if where else "documents"
+    )
     tlist = ", ".join(f"'{t}'" for t in terms)
     idf = cfg.idf_sql("df.df", "stats.n")
     and_filter = f"WHERE nt = {len(terms)}" if mode == "and" else ""
@@ -528,14 +535,14 @@ def _bm25_sql(
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
-  FROM documents
+  FROM {docs_rel}
 ),
 dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
 -- N and avgdl are over ALL documents (engine semantics: a token-less doc
 -- still counts toward N and pulls avgdl down)
-stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM {docs_rel}) AS n,
                  (SELECT CAST(count(*) AS DOUBLE) FROM toks)
-                 / (SELECT count(*) FROM documents) AS avgdl),
+                 / (SELECT count(*) FROM {docs_rel}) AS avgdl),
 tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
        WHERE term IN ({tlist}) GROUP BY doc_id, term),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
@@ -700,6 +707,38 @@ def fts11(spark, sf_dir):
     hits = index.search(
         " ".join(_FTS11_TERMS) + " -" + _FTS11_EXCL, k=10, mode="and"
     )
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# A22 delete + compact driver gate: a seventh of the corpus is tombstoned
+# and the index compacted; the compacted index must be indistinguishable
+# from one built over the filtered corpus — same docIDs, stats (N, avgdl,
+# df/idf, block bounds) fully recomputed.  The oracle is the same BM25 SQL
+# with the corpus predicate applied BEFORE any stat, and the query runs
+# through block-max WAND so the recomputed bounds are load-bearing.
+_FTS12_TERMS = ["hash", "join"]  # sorted
+_FTS12_MOD, _FTS12_REM = 7, 3
+
+
+@q(
+    "fts12_delete_compact",
+    _bm25_sql(
+        _FTS12_TERMS, 10, "or",
+        where=f"doc_id % {_FTS12_MOD} <> {_FTS12_REM}",
+    ),
+)
+def fts12(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import (
+        ensure_compacted_documents_index,
+    )
+
+    index = Index(
+        spark, ensure_compacted_documents_index(spark, sf_dir, _FTS12_MOD, _FTS12_REM)
+    )
+    hits = index.search(_FTS12_TERMS, k=10, mode="wand")
     return spark.createDataFrame(
         [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
     )
