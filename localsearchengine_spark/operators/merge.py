@@ -153,6 +153,21 @@ def merge_indexes(
         "merge_path": "ordered" if ordered else "interleaved",
         "merge_elapsed_s": round(time.time() - t0, 3),
     }
+    # A22 interplay: tombstones of the inputs carry into the merged index —
+    # merging must never resurrect a deleted doc.  Stats stay the inputs'
+    # as-built sums, consistent with tombstone semantics (compact() is the
+    # pressure valve that folds deletes into the stats).
+    import numpy as np
+
+    from localsearchengine_spark.operators.delete import delete_docs, load_tombstones
+
+    all_ts = np.unique(
+        np.concatenate(
+            [load_tombstones(d) for d in index_dirs] or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    if len(all_ts):
+        delete_docs(out_dir, all_ts)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     atomic_write_json(os.path.join(out_dir, "manifest", "merge-complete.json"), meta)
     atomic_write_json(os.path.join(out_dir, "meta.json"), meta)

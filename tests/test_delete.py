@@ -115,3 +115,28 @@ def test_compact_guards(spark, deletable_index, tmp_path):
     delete_docs(idx_dir, range(len(pdf)))
     with pytest.raises(ValueError, match="every document"):
         compact(spark, idx_dir, str(tmp_path / "nope"))
+
+
+def test_merge_carries_tombstones(spark, built_index, transcripts_small, tmp_path):
+    """Merging segments must never resurrect a deleted doc: input tombstones
+    union into the merged index, whose searches keep excluding them."""
+    from localsearchengine_spark.build import build_index
+    from localsearchengine_spark.config import BuildConfig
+    from localsearchengine_spark.operators.merge import merge_indexes
+    from tests.test_merge_resume import _split_and_write
+
+    _, _, pdf = built_index
+    pa_, pb_, n_a, _ = _split_and_write(pdf, str(tmp_path), even_odd=False)
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    conf = BuildConfig(num_partitions=8, hot_df_threshold=300, block_size=64)
+    build_index(spark, pa_, ia, conf)
+    build_index(spark, pb_, ib, conf, doc_id_base=n_a)
+    top = Index(spark, ia).search(TERMS, k=3, mode="or")
+    victims = [d for d, _ in top[:2]]
+    delete_docs(ia, victims)
+    out = str(tmp_path / "merged")
+    merge_indexes(spark, [ia, ib], out)
+    assert load_tombstones(out).tolist() == sorted(victims)
+    merged = Index(spark, out)
+    hits = merged.search(TERMS, k=20, mode="or")
+    assert not set(victims) & {d for d, _ in hits}
