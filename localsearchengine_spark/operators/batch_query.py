@@ -5,7 +5,7 @@ scale the postings for a large query batch don't fit one driver, so this path
 keeps everything in DataFrames:
 
     postings (term-filtered parquet scan, pushdown)
-      → mapInPandas decode (Arrow-batched varint+delta → long form)
+      → mapInArrow decode (contiguous varint streams → long form)
       → broadcast-join the exploded query set + per-term idf
       → JVM Column-expression BM25 contribution  (whole-stage codegen)
       → groupBy(query_id, doc_id) partial-agg sum  [the only big shuffle]
@@ -18,10 +18,8 @@ query set's term list is small by definition), so no second big join.
 from __future__ import annotations
 
 import os
-from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -516,9 +514,19 @@ def run_queries(
     queries: list[dict],
     mode: str = "and",
     prune: bool | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """queries: [{"query_id": int, "terms": [str], "k": int}] →
     DataFrame(query_id long, rank long, doc_id long, score double).
+
+    ``doc_filter`` — optional one-column (doc_id) DataFrame restricting
+    RESULTS to those docs (metadata-filtered search, e.g. "only docs where
+    lang='en'"): a semi-join on the decoded scan, so the filter set never
+    leaves the executors and can be arbitrarily large (any Catalyst
+    predicate over any table that yields docIDs).  Scoring stats (N, avgdl,
+    idf) stay whole-corpus — a result filter is not a corpus deletion (A22
+    is).  Forces the single-job path: the pruned plan's θ seed comes from
+    unfiltered driver-side postings and could over-prune filtered results.
 
     ``prune`` — block-max/MaxScore pruning for OR batches: True engages the
     two-phase plan (exactness driver-gated by fts08), anything else takes
@@ -559,12 +567,16 @@ def run_queries(
         qrows, "query_id long, term string, idf double, n_terms long, n_present long, k long"
     )
 
-    if mode == "or" and prune is True:
+    if mode == "or" and prune is True and doc_filter is None:
         pruned = _run_queries_or_pruned(spark, index, queries, dic, qdf)
         if pruned is not None:
             return pruned
 
     decoded = decode_postings_df(spark, index.index_dir, all_terms)
+    if doc_filter is not None:
+        decoded = decoded.join(
+            doc_filter.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
 
     # rare-term semi-join pre-filter (AND only): candidates from a second,
     # term-pushdown-pruned scan of just the rare posting lists

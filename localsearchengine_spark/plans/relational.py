@@ -505,6 +505,7 @@ _BM25_TERMS = ["join", "spark"]  # sorted
 def _bm25_sql(
     terms: list[str], k: int, mode: str, qid: int | None = None,
     excl: str | None = None, where: str | None = None,
+    doc_pred: str | None = None,
 ) -> str:
     """Independent DuckDB BM25 oracle.  With ``qid`` set, emits
     (query_id, rank, doc_id, score) — rank over the same unrounded
@@ -514,7 +515,10 @@ def _bm25_sql(
     ``where`` restricts the CORPUS itself before any stat (N, avgdl, df) is
     computed — the oracle for an index whose docs were deleted + compacted
     (fts12): compaction must be indistinguishable from building over the
-    filtered corpus."""
+    filtered corpus.
+    ``doc_pred`` restricts RESULTS to docs matching a documents-table
+    predicate AFTER scoring (fts13 filtered search: a metadata filter never
+    changes stats or surviving docs' scores — unlike ``where``)."""
     cfg = BM25Config()
     docs_rel = (
         f"(SELECT * FROM documents WHERE {where})" if where else "documents"
@@ -525,6 +529,9 @@ def _bm25_sql(
     if excl is not None:
         neg = f"doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = '{excl}')"
         and_filter = f"{and_filter} AND {neg}" if and_filter else f"WHERE {neg}"
+    if doc_pred is not None:
+        keep = f"doc_id IN (SELECT doc_id FROM documents WHERE {doc_pred})"
+        and_filter = f"{and_filter} AND {keep}" if and_filter else f"WHERE {keep}"
     select = "doc_id, round(s, 6) AS score"
     if qid is not None:
         select = (
@@ -778,20 +785,27 @@ _FTS8_QUERIES = [
 ]
 
 
-def _batch_oracle_sql(queries: list[dict], mode: str) -> str:
+def _batch_oracle_sql(queries: list[dict], mode: str, doc_pred: str | None = None) -> str:
     return "\nUNION ALL\n".join(
-        f"SELECT * FROM ({_bm25_sql(sorted(q['terms']), q['k'], mode, qid=q['query_id'])})"
+        "SELECT * FROM ({})".format(
+            _bm25_sql(
+                sorted(q["terms"]), q["k"], mode, qid=q["query_id"], doc_pred=doc_pred
+            )
+        )
         for q in queries
     )
 
 
-def _engine_batch(spark, sf_dir, queries: list[dict], mode: str, prune=None):
+def _engine_batch(spark, sf_dir, queries: list[dict], mode: str, prune=None,
+                  doc_filter=None):
     from localsearchengine_spark.operators.batch_query import run_queries
     from localsearchengine_spark.operators.search import Index
     from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
 
     index = Index(spark, ensure_documents_index(spark, sf_dir))
-    res = run_queries(spark, index, queries, mode=mode, prune=prune)
+    res = run_queries(
+        spark, index, queries, mode=mode, prune=prune, doc_filter=doc_filter
+    )
     return res.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
@@ -808,6 +822,31 @@ def fts05(spark, sf_dir):
 @q("fts08_batch_queries_or", _batch_oracle_sql(_FTS8_QUERIES, "or"))
 def fts08(spark, sf_dir):
     return _engine_batch(spark, sf_dir, _FTS8_QUERIES, "or", prune=True)
+
+
+# metadata-FILTERED batch search: results restricted to docs whose source
+# lang = 'en', expressed as a doc_id DataFrame semi-joined into the decode
+# (engine doc_id ≡ source doc_id).  Scoring stats stay whole-corpus — the
+# oracle applies the same predicate AFTER scoring, so a score change OR a
+# leaked non-en doc would both hash-mismatch.
+_FTS13_QUERIES = [
+    {"query_id": 1, "terms": ["join", "merge"], "k": 12},
+    {"query_id": 2, "terms": ["column", "spark"], "k": 10},
+    {"query_id": 3, "terms": ["dup", "scan"], "k": 10},
+]
+_FTS13_PRED = "lang = 'en'"
+
+
+@q(
+    "fts13_filtered_batch",
+    _batch_oracle_sql(_FTS13_QUERIES, "or", doc_pred=_FTS13_PRED),
+)
+def fts13(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _engine_batch(
+        spark, sf_dir, _FTS13_QUERIES, "or",
+        doc_filter=docs.filter(F.expr(_FTS13_PRED)).select("doc_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

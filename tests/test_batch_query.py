@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from localsearchengine_spark.operators.batch_query import run_queries
 from localsearchengine_spark.operators.search import Index
@@ -169,3 +170,25 @@ def test_pruned_decode_phases_partition_the_full_decode(spark, built_index):
     ).collect()
     assert len(p1) < len(full)  # τ between the bound extremes must skip something
     assert sorted(map(tuple, p1 + p2)) == sorted(map(tuple, full))
+
+
+def test_doc_filter_restricts_without_rescoring(spark, built_index):
+    """doc_filter semantics: results are exactly the unfiltered ranking with
+    non-matching docs removed — same scores (whole-corpus stats), re-ranked
+    among survivors."""
+    idx_dir, _, _ = built_index
+    index = Index(spark, idx_dir)
+    q = [{"query_id": 0, "terms": ["merge", "small"], "k": 8}]
+    wide = run_queries(spark, index, [{**q[0], "k": 50}], mode="or").collect()
+    ranked = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in sorted(wide, key=lambda r: r["rank"])
+    ]
+    keep = spark.range(0, 2000, 3).select(F.col("id").alias("doc_id"))  # doc_id % 3 == 0
+    got_rows = run_queries(spark, index, q, mode="or", doc_filter=keep).collect()
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in sorted(got_rows, key=lambda r: r["rank"])
+    ]
+    exp = [(d, s) for d, s in ranked if d % 3 == 0][:8]
+    assert got == exp
