@@ -80,14 +80,18 @@ def load_tombstones(index_dir: str) -> np.ndarray:
     return np.unique(tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
 
 
-def _emit_surviving(postings: DataFrame, tombstones: np.ndarray) -> DataFrame:
+def _emit_surviving(
+    postings: DataFrame, tombstones: np.ndarray, with_pos: bool = False
+) -> DataFrame:
     """(term, salt, blocks) rows → the build's packed EMIT_SCHEMA rows with
     tombstoned postings dropped — the same Arrow-buffer decode as
     `batch_query._decode_arrow`, but per-row grouping is preserved so the
     output feeds `build_posting_partitions` directly (no explode, no extra
-    shuffle beyond the build's own salted repartition)."""
+    shuffle beyond the build's own salted repartition).  With ``with_pos``
+    the flat position stream rides along: posting i owns tf[i] positions,
+    so the posting keep-mask expands to positions with one np.repeat."""
     from localsearchengine_spark.operators import codec
-    from localsearchengine_spark.operators.postings import EMIT_SCHEMA
+    from localsearchengine_spark.operators.postings import EMIT_SCHEMA, EMIT_SCHEMA_POS
     from localsearchengine_spark.operators.search import _binary_offsets
 
     sc = postings.sparkSession.sparkContext
@@ -110,7 +114,7 @@ def _emit_surviving(postings: DataFrame, tombstones: np.ndarray) -> DataFrame:
             n_all = flat.field("n").to_numpy().astype(np.int64)[blk_lo:blk_hi]
             total = int(n_all.sum())
             streams = {}
-            for name in ("doc", "tf", "dl"):
+            for name in ("doc", "tf", "dl") + (("pos",) if with_pos else ()):
                 ba = flat.field(f"{name}_bytes")
                 boffs = _binary_offsets(ba)
                 data = ba.buffers()[2]
@@ -126,22 +130,36 @@ def _emit_surviving(postings: DataFrame, tombstones: np.ndarray) -> DataFrame:
             kept_cum = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
             kept_off = kept_cum[row_posting_off]
             offs = pa.array(kept_off.astype(np.int32))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    cols["term"],
-                    cols["salt"],
+            arrays = [
+                cols["term"],
+                cols["salt"],
+                pa.ListArray.from_arrays(
+                    offs, pa.array(doc_ids[keep], type=pa.int64())
+                ),
+                pa.ListArray.from_arrays(offs, pa.array(tfs[keep], type=pa.int64())),
+                pa.ListArray.from_arrays(offs, pa.array(dls[keep], type=pa.int64())),
+            ]
+            names = ["term", "salt", "doc_ids", "tfs", "dls"]
+            if with_pos:
+                pos_flat = codec.decode_varints(
+                    streams["pos"], int(tfs.sum())
+                ).astype(np.int64)
+                pos_keep = np.repeat(keep, tfs)
+                kept_tf_cum = np.concatenate(
+                    ([0], np.cumsum(np.where(keep, tfs, 0), dtype=np.int64))
+                )
+                arrays.append(
                     pa.ListArray.from_arrays(
-                        offs, pa.array(doc_ids[keep], type=pa.int64())
-                    ),
-                    pa.ListArray.from_arrays(offs, pa.array(tfs[keep], type=pa.int64())),
-                    pa.ListArray.from_arrays(offs, pa.array(dls[keep], type=pa.int64())),
-                ],
-                names=["term", "salt", "doc_ids", "tfs", "dls"],
-            )
+                        pa.array(kept_tf_cum[row_posting_off].astype(np.int32)),
+                        pa.array(pos_flat[pos_keep], type=pa.int64()),
+                    )
+                )
+                names.append("pos")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     return (
         postings.select("term", "salt", "blocks")
-        .mapInArrow(kernel, schema=EMIT_SCHEMA)
+        .mapInArrow(kernel, schema=EMIT_SCHEMA_POS if with_pos else EMIT_SCHEMA)
         .filter(F.size("doc_ids") > 0)
     )
 
@@ -154,9 +172,8 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     recomputed over the survivors, so a compacted index scores exactly like
     an index built over the surviving corpus with the same docIDs (the
     fts12 driver gate pins this against the SQL oracle).  Positional
-    indexes are not compacted yet (pos-stream splitting per surviving
-    posting — the interleaved-merge shim covers the decode, wiring it here
-    is future work); they raise rather than silently dropping positions."""
+    indexes compact too: each surviving posting's position run rides
+    through the same kernel, so phrase queries keep working afterwards."""
     from localsearchengine_spark.operators.postings import (
         build_posting_partitions,
         skew_report,
@@ -167,8 +184,6 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
 
     index = Index(spark, index_dir)
     conf = index.conf
-    if conf.store_positions:
-        raise NotImplementedError("compaction of positional indexes")
     ts = load_tombstones(index_dir)
     ts_df = spark.createDataFrame([(int(x),) for x in ts], "doc_id long")
 
@@ -208,7 +223,7 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     )
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    emitted = _emit_surviving(postings, ts)
+    emitted = _emit_surviving(postings, ts, with_pos=conf.store_positions)
     manifest_dir = os.path.join(out_dir, "manifest")
     os.makedirs(manifest_dir, exist_ok=True)
     build_posting_partitions(

@@ -140,3 +140,56 @@ def test_merge_carries_tombstones(spark, built_index, transcripts_small, tmp_pat
     merged = Index(spark, out)
     hits = merged.search(TERMS, k=20, mode="or")
     assert not set(victims) & {d for d, _ in hits}
+
+
+def test_compact_positional_index_keeps_phrases(spark, tmp_path):
+    """Compaction of a positional index: surviving postings keep their
+    position runs, so phrase queries still work and still exclude the
+    compacted-away docs."""
+    import os
+
+    import pandas as pd
+
+    from localsearchengine_spark.build import build_index
+    from localsearchengine_spark.config import BuildConfig
+    from localsearchengine_spark.sources.fixtures import write_transcripts_parquet
+
+    rows = [
+        "spark sql engine runs fast",        # 0 (deleted)
+        "sql spark engine is slow",          # 1
+        "the spark sql optimizer",           # 2
+        "spark and sql and spark sql",       # 3
+        "engine fast slow",                  # 4
+        "spark sql spark sql spark sql",     # 5 (deleted)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:03d}" for i in range(len(rows))],
+            "turn_idx": np.zeros(len(rows), dtype=np.int32),
+            "role": ["user"] * len(rows),
+            "text": rows,
+            "tool": [""] * len(rows),
+            "ts": pd.Timestamp("2025-01-01"),
+        }
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    write_transcripts_parquet(pdf, src + "/t.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, src, idx,
+        BuildConfig(num_partitions=4, store_positions=True, block_size=4),
+    )
+    delete_docs(idx, [0, 5])
+    out = str(tmp_path / "compacted")
+    rep = compact(spark, idx, out)
+    assert rep["n_docs"] == 4
+
+    cidx = Index(spark, out)
+    assert {d for d, _ in cidx.search('"spark sql"', k=10)} == {2, 3}
+    assert {d for d, _ in cidx.search('"sql spark"', k=10)} == {1}
+    assert cidx.search('"spark sql engine"', k=10) == []  # only doc 0 had it
+    # position integrity on a survivor: doc 3 "spark and sql and spark sql"
+    tp = cidx.fetch_postings(["spark"])["spark"]
+    pos = tp.positions_for(np.array([3], dtype=np.int64))
+    assert pos[3].tolist() == [0, 4]
