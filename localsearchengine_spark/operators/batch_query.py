@@ -53,8 +53,13 @@ def _postings_scan(spark: SparkSession, index_dir: str, terms: list[str]) -> Dat
     return rows.filter(F.col("term").isin(sorted(set(terms)))).select("term", "blocks")
 
 
-def _decode_arrow(rows: DataFrame) -> DataFrame:
+DECODED_POS_SCHEMA = DECODED_SCHEMA + ", pos array<long>"
+
+
+def _decode_arrow(rows: DataFrame, with_pos: bool = False) -> DataFrame:
     """(term, blocks) → decoded long form via an Arrow-NATIVE kernel.
+    With ``with_pos``, each posting's within-doc position run rides along
+    as an array column (posting i owns tf[i] flat positions).
 
     mapInArrow keeps the compressed block structs as Arrow buffers — per
     RecordBatch, the per-block metadata becomes NumPy views and each varint
@@ -82,7 +87,7 @@ def _decode_arrow(rows: DataFrame) -> DataFrame:
             n_all = flat.field("n").to_numpy().astype(np.int64)[blk_lo:blk_hi]
             total = int(n_all.sum())
             streams = {}
-            for name in ("doc", "tf", "dl"):
+            for name in ("doc", "tf", "dl") + (("pos",) if with_pos else ()):
                 ba = flat.field(f"{name}_bytes")
                 boffs = _binary_offsets(ba)
                 data = ba.buffers()[2]
@@ -94,17 +99,29 @@ def _decode_arrow(rows: DataFrame) -> DataFrame:
             cs = np.concatenate(([0], np.cumsum(n_all)))
             per_row = cs[row_off - blk_lo][1:] - cs[row_off - blk_lo][:-1]
             term_idx = np.repeat(np.arange(rb.num_rows, dtype=np.int64), per_row)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    cols["term"].take(pa.array(term_idx)),
-                    pa.array(doc_ids, type=pa.int64()),
-                    pa.array(tfs, type=pa.int64()),
-                    pa.array(dls, type=pa.int64()),
-                ],
-                names=["term", "doc_id", "tf", "dl"],
-            )
+            arrays = [
+                cols["term"].take(pa.array(term_idx)),
+                pa.array(doc_ids, type=pa.int64()),
+                pa.array(tfs, type=pa.int64()),
+                pa.array(dls, type=pa.int64()),
+            ]
+            names = ["term", "doc_id", "tf", "dl"]
+            if with_pos:
+                pos_flat = codec.decode_varints(
+                    streams["pos"], int(tfs.sum())
+                ).astype(np.int64)
+                tf_cum = np.concatenate(([0], np.cumsum(tfs))).astype(np.int32)
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(tf_cum), pa.array(pos_flat, type=pa.int64())
+                    )
+                )
+                names.append("pos")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return rows.select("term", "blocks").mapInArrow(decode, schema=DECODED_SCHEMA)
+    return rows.select("term", "blocks").mapInArrow(
+        decode, schema=DECODED_POS_SCHEMA if with_pos else DECODED_SCHEMA
+    )
 
 
 def _drop_deleted(df: DataFrame, spark: SparkSession, index_dir: str) -> DataFrame:
@@ -648,3 +665,83 @@ def run_queries(
             (F.col("nt") == F.col("n_terms")) & (F.col("n_present") == F.col("n_terms"))
         )
     return _rank_topk(scored)
+
+
+def run_phrase_queries(
+    spark: SparkSession, index: Index, queries: list[dict]
+) -> DataFrame:
+    """Distributed PHRASE batch (the query language's positional path at
+    A20 scale): queries = [{"query_id": int, "phrase": [term, ...], "k"}]
+    → DataFrame(query_id long, rank long, doc_id long, score double).
+
+    Fully declarative after the positional decode — phrase adjacency is a
+    Catalyst higher-order fold, never Python: ``run`` starts as the first
+    term's position array and each later term t_j keeps only start
+    positions p with p+j ∈ pos(t_j) (`F.filter` + `F.exists`, whole-stage
+    codegen; position runs are tf-sized, so the nested scan is tiny).
+    Matching docs then score through the standard pipeline — BM25 over the
+    phrase's member terms (same semantics as the driver-local
+    `_structured_search` and the fts04 oracle), fixed-order fold, per-query
+    top-k.  Each adjacency step is an equi-join on doc_id between two
+    term-filtered slices of the same pushdown scan, so per-step input is
+    bounded by the rarer term's postings."""
+    if not index.conf.store_positions:
+        raise ValueError(
+            "phrase batch on an index built without positions "
+            "(BuildConfig.store_positions=True)"
+        )
+    empty = "query_id long, rank long, doc_id long, score double"
+    all_terms = sorted({t for q in queries for t in q["phrase"]})
+    dic = index.lookup(all_terms)
+    decoded = _drop_deleted(
+        _decode_arrow(
+            _postings_scan(spark, index.index_dir, all_terms), with_pos=True
+        ),
+        spark,
+        index.index_dir,
+    )
+
+    parts = []
+    qrows = []
+    for qd in queries:
+        ph = list(qd["phrase"])
+        if not ph or any(t not in dic for t in ph):
+            continue  # a missing member term can never match an exact phrase
+        qid, k = int(qd["query_id"]), int(qd.get("k", 10))
+        cur = decoded.filter(F.col("term") == ph[0]).select(
+            "doc_id", F.col("pos").alias("run")
+        )
+        for j, t in enumerate(ph[1:], start=1):
+            nxt = decoded.filter(F.col("term") == t).select(
+                "doc_id", F.col("pos").alias(f"p{j}")
+            )
+            pj = F.col(f"p{j}")
+            step = F.lit(j).cast("long")
+            cur = (
+                cur.join(nxt, "doc_id")
+                .select(
+                    "doc_id",
+                    F.filter(
+                        "run", lambda p: F.exists(pj, lambda x: x == p + step)
+                    ).alias("run"),
+                )
+                .filter(F.size("run") > 0)
+            )
+        parts.append(
+            cur.select(F.lit(qid).cast("long").alias("query_id"), "doc_id")
+        )
+        for t in sorted(set(ph)):
+            qrows.append((qid, t, float(index.cfg.idf(dic[t]["df"], index.n_docs)), k))
+    if not parts:
+        return spark.createDataFrame([], empty)
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    qdf = spark.createDataFrame(qrows, "query_id long, term string, idf double, k long")
+    contribs = (
+        decoded.select("term", "doc_id", "tf", "dl")
+        .join(F.broadcast(qdf), "term")
+        .join(cand, ["query_id", "doc_id"], "left_semi")
+        .select("query_id", "doc_id", "term", "k", _contrib_col(index).alias("contrib"))
+    )
+    return _fold_and_rank(contribs)

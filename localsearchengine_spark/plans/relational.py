@@ -659,13 +659,20 @@ def fts03(spark, sf_dir):
 _FTS4_PHRASE = ["spark", "join"]
 
 
-def _phrase_sql(phrase: list[str], k: int) -> str:
+def _phrase_sql(phrase: list[str], k: int, qid: int | None = None) -> str:
     cfg = BM25Config()
     idf = cfg.idf_sql("df.df", "stats.n")
     tlist = ", ".join(f"'{t}'" for t in sorted(set(phrase)))
     adj = " AND ".join(
         f"tk[i+{j}] = '{t}'" for j, t in enumerate(phrase)
     )
+    select = "doc_id, round(s, 6) AS score"
+    if qid is not None:
+        select = (
+            f"CAST({qid} AS BIGINT) AS query_id, "
+            "CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+            "doc_id, round(s, 6) AS score"
+        )
     return f"""
 WITH toklist AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS tk
@@ -692,7 +699,7 @@ scores AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   WHERE tf.doc_id IN (SELECT doc_id FROM cand)
   GROUP BY tf.doc_id)
-SELECT doc_id, round(s, 6) AS score FROM scores
+SELECT {select} FROM scores
 ORDER BY s DESC, doc_id LIMIT {k}
 """
 
@@ -748,6 +755,35 @@ def fts12(spark, sf_dir):
     hits = index.search(_FTS12_TERMS, k=10, mode="wand")
     return spark.createDataFrame(
         [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# distributed PHRASE batch (the positional path at A20 scale): adjacency is
+# a Catalyst higher-order fold over per-posting position runs — zero Python
+# after the Arrow decode.  Oracle: per-query positional SQL, unioned.
+_FTS14_QUERIES = [
+    {"query_id": 1, "phrase": ["spark", "join"], "k": 10},
+    {"query_id": 2, "phrase": ["data", "table"], "k": 10},
+    {"query_id": 3, "phrase": ["the", "query", "plan"], "k": 10},
+]
+
+
+@q(
+    "fts14_phrase_batch",
+    "\nUNION ALL\n".join(
+        "SELECT * FROM ({})".format(_phrase_sql(q["phrase"], q["k"], qid=q["query_id"]))
+        for q in _FTS14_QUERIES
+    ),
+)
+def fts14(spark, sf_dir):
+    from localsearchengine_spark.operators.batch_query import run_phrase_queries
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir, positions=True))
+    res = run_phrase_queries(spark, index, _FTS14_QUERIES)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     )
 
 

@@ -140,3 +140,27 @@ def test_or_mode_structured_queries(pos_index):
     assert pos_index.search('"spark sql engine" optimizer -the', k=10, mode="or") == [
         h for h in pos_index.search('"spark sql engine" optimizer', k=10, mode="or") if h[0] != 2
     ]
+
+
+def test_phrase_batch_matches_driver_local(spark, pos_index):
+    """A20 phrase batch ≡ the driver-local structured path: same docs, same
+    float64 scores (both sum contributions in sorted term order)."""
+    from localsearchengine_spark.operators.batch_query import run_phrase_queries
+
+    queries = [
+        {"query_id": 0, "phrase": ["spark", "sql"], "k": 10},
+        {"query_id": 1, "phrase": ["sql", "spark"], "k": 10},
+        {"query_id": 2, "phrase": ["spark", "sql", "engine"], "k": 10},
+        {"query_id": 3, "phrase": ["spark", "zzznope"], "k": 10},
+    ]
+    out = run_phrase_queries(spark, pos_index, queries).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["score"]))
+        )
+    for qid, qstr in enumerate(
+        ['"spark sql"', '"sql spark"', '"spark sql engine"', '"spark zzznope"']
+    ):
+        local = pos_index.search(qstr, k=10)
+        assert by_q.get(qid, []) == [(d, s) for d, s in local], qstr
