@@ -545,6 +545,13 @@ def run_queries(
     is).  Forces the single-job path: the pruned plan's θ seed comes from
     unfiltered driver-side postings and could over-prune filtered results.
 
+    A query dict may carry ``"exclude": [terms...]`` — the query language's
+    negative path (fts11) distributed: the query's results drop docs
+    containing any excluded term, via a per-query (query_id, doc_id)
+    anti-join built from the excluded terms' own pushdown decode.  Like the
+    driver-local path, exclusion never changes the positive terms' idf or
+    scores.  Also forces the single-job path.
+
     ``prune`` — block-max/MaxScore pruning for OR batches: True engages the
     two-phase plan (exactness driver-gated by fts08), anything else takes
     the single-job path.  Auto-engaging by estimated posting volume was
@@ -584,7 +591,19 @@ def run_queries(
         qrows, "query_id long, term string, idf double, n_terms long, n_present long, k long"
     )
 
-    if mode == "or" and prune is True and doc_filter is None:
+    excl_rows = []
+    excl_dic = {}
+    if any(q.get("exclude") for q in queries):
+        excl_terms = sorted({t for q in queries for t in q.get("exclude", [])})
+        excl_dic = index.lookup(excl_terms)
+        excl_rows = [
+            (int(q["query_id"]), t)
+            for q in queries
+            for t in sorted(set(q.get("exclude", [])))
+            if t in excl_dic  # an absent excluded term excludes nothing
+        ]
+
+    if mode == "or" and prune is True and doc_filter is None and not excl_rows:
         pruned = _run_queries_or_pruned(spark, index, queries, dic, qdf)
         if pruned is not None:
             return pruned
@@ -638,6 +657,16 @@ def run_queries(
             .filter(~in_f | F.col("cand_hit").isNotNull())
             .drop("cand_hit")
         )
+    if excl_rows:
+        excl_qdf = spark.createDataFrame(excl_rows, "query_id long, term string")
+        excl_pairs = (
+            decode_postings_df(
+                spark, index.index_dir, sorted({t for _, t in excl_rows})
+            )
+            .join(F.broadcast(excl_qdf), "term")
+            .select("query_id", "doc_id")
+        )
+        joined = joined.join(excl_pairs, ["query_id", "doc_id"], "left_anti")
     # Fixed-order summation (the §2.4 determinism contract): per (query,
     # doc), contributions are sorted by term and folded left-to-right, so
     # the float64 score is bit-identical across parallelism levels and to

@@ -825,7 +825,8 @@ def _batch_oracle_sql(queries: list[dict], mode: str, doc_pred: str | None = Non
     return "\nUNION ALL\n".join(
         "SELECT * FROM ({})".format(
             _bm25_sql(
-                sorted(q["terms"]), q["k"], mode, qid=q["query_id"], doc_pred=doc_pred
+                sorted(q["terms"]), q["k"], mode, qid=q["query_id"],
+                excl=(q.get("exclude") or [None])[0], doc_pred=doc_pred,
             )
         )
         for q in queries
@@ -883,6 +884,22 @@ def fts13(spark, sf_dir):
         spark, sf_dir, _FTS13_QUERIES, "or",
         doc_filter=docs.filter(F.expr(_FTS13_PRED)).select("doc_id"),
     )
+
+
+# distributed EXCLUSION batch (the query language's negative path at A20
+# scale — fts11's semantics through run_queries): per-query excluded terms
+# drop their docs via a (query_id, doc_id) anti-join off the excluded
+# terms' own pushdown decode; positive idf/scores unchanged.
+_FTS15_QUERIES = [
+    {"query_id": 1, "terms": ["merge", "scan"], "k": 10, "exclude": ["window"]},
+    {"query_id": 2, "terms": ["fast", "key"], "k": 10, "exclude": ["slow"]},
+    {"query_id": 3, "terms": ["spark"], "k": 10, "exclude": ["zzzmissing"]},
+]
+
+
+@q("fts15_batch_exclusions", _batch_oracle_sql(_FTS15_QUERIES, "and"))
+def fts15(spark, sf_dir):
+    return _engine_batch(spark, sf_dir, _FTS15_QUERIES, "and")
 
 
 # ---------------------------------------------------------------------------

@@ -192,3 +192,19 @@ def test_doc_filter_restricts_without_rescoring(spark, built_index):
     ]
     exp = [(d, s) for d, s in ranked if d % 3 == 0][:8]
     assert got == exp
+
+
+def test_batch_exclusions_match_driver_local(spark, built_index):
+    """Multi-term exclusion in the batch path ≡ the driver-local query
+    language ("a b -x -y"): same docs, bit-equal scores."""
+    idx_dir, _, _ = built_index
+    index = Index(spark, idx_dir)
+    q = [{"query_id": 0, "terms": ["merge", "small"], "k": 10,
+          "exclude": ["window", "slow"]}]
+    out = run_queries(spark, index, q, mode="and").collect()
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in sorted(out, key=lambda r: r["rank"])
+    ]
+    local = index.search("merge small -window -slow", k=10, mode="and")
+    assert got == [(d, s) for d, s in local]
