@@ -317,9 +317,9 @@ FROM bits GROUP BY doc_id
 """
 
 
-@q("dd04_simhash", _SIMHASH_SQL)
-def dd04(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+def _simhash_df(docs):
+    """(doc_id, simhash) over a (doc_id, text) DataFrame — the shared
+    pipeline behind dd04 (fingerprints) and dd09 (near-dup pairs)."""
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -354,6 +354,11 @@ def dd04(spark, sf_dir):
             ).alias("simhash")
         )
     )
+
+
+@q("dd04_simhash", _SIMHASH_SQL)
+def dd04(spark, sf_dir):
+    return _simhash_df(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1118,3 +1123,305 @@ def dd08(spark, sf_dir):
         .cast("long")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DD9 — SimHash NEAR-DUPLICATE PAIRS (dd04 stops at fingerprints; a dedup
+# pipeline needs the pairs).  EXACT by pigeonhole banding: the 60-bit
+# fingerprint splits into RADIUS+1 disjoint 15-bit bands, and any pair
+# within Hamming distance RADIUS differs in at most RADIUS bands, so it
+# agrees exactly on at least one band — candidate generation via the
+# (band, band_key) self-join is therefore lossless (unlike probabilistic
+# LSH), and the popcount verify is exact.  Scale shape: the join runs on
+# band buckets (SortMergeJoin on two small integer keys), never all-pairs;
+# candidate volume is bounded by bucket occupancy, the same structural
+# skew-kill as dd05's prefix filter.  Cf. Manku, Jain & Sarma, "Detecting
+# near-duplicates for web crawling" (WWW'07) — the same split-and-probe
+# construction used there for 64-bit SimHash at web scale.
+# ---------------------------------------------------------------------------
+_DD09_RADIUS = 3
+_DD09_BANDS = _DD09_RADIUS + 1          # 4 bands
+_DD09_WIDTH = _SIMHASH_BITS // _DD09_BANDS  # 15 bits each
+
+_DD09_SQL = f"""
+WITH sh AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_DD09_RADIUS}
+"""
+
+
+@q("dd09_simhash_pairs", _DD09_SQL)
+def dd09(spark, sf_dir):
+    sh = _simhash_df(_t(spark, sf_dir, "documents"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_DD09_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr(
+            f"shiftright(simhash, band * {_DD09_WIDTH}) & CAST({(1 << _DD09_WIDTH) - 1} AS BIGINT)"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+        )
+        .filter(F.col("dist") <= _DD09_RADIUS)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SIM3 — IVF (inverted-file) approximate nearest neighbour: the second
+# scale path next to sim02's LSH, and the standard shape for billion-vector
+# serving (coarse quantizer → inverted cells → exact re-rank within probed
+# cells; Jégou, Douze & Schmid, "Product quantization for nearest neighbor
+# search", TPAMI 2011 — the IVF part, without PQ compression).
+#
+#   * COARSE CENTROIDS: the K vectors with the smallest md5(vec_id)
+#     integer view (deterministic, data-independent sampling — stands in
+#     for Lloyd iterations, which at production scale would run the same
+#     assign step a few times; centroids stay a broadcast-size table
+#     either way).
+#   * ASSIGNMENT: argmin of the INTEGER squared L2 distance over quantized
+#     (round(x*1000)) vectors, tie-broken by centroid id via the encoded
+#     key  dist*K + cid−1  →  min() is the argmin — integer-exact, so
+#     Spark and DuckDB assign every vector to the identical cell.
+#   * QUERY: probe the NPROBE nearest cells (same integer metric), exact
+#     float64 cosine re-rank of ONLY the probed cells' members, top-10 per
+#     query via a window.  One job for the whole query batch; candidates
+#     per query ≈ n·NPROBE/K — the knob that cuts the scan at scale.
+# The oracle runs the SAME algorithm in SQL; recall vs exact brute force is
+# pinned in tests (the accuracy statement lives there, not in the hash).
+# ---------------------------------------------------------------------------
+_IVF_K = 16
+_IVF_NPROBE = 4
+
+_IVF_MD5 = "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT)"
+
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY {_IVF_MD5}, vec_id) AS BIGINT) AS cid,
+         qv AS cv
+  FROM e
+  ORDER BY {_IVF_MD5}, vec_id
+  LIMIT {_IVF_K}
+),
+dists AS (
+  SELECT e.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1,{_ANN_DIM + 1}),
+              i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))) AS BIGINT) AS dist
+  FROM e, cent c
+),
+assign AS (
+  SELECT vec_id, CAST(min(dist*{_IVF_K} + cid - 1) % {_IVF_K} + 1 AS BIGINT) AS cell
+  FROM dists GROUP BY vec_id
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
+    FROM dists WHERE vec_id IN ({", ".join(str(i) for i in _ANN_QUERY_IDS)}))
+  WHERE pr <= {_IVF_NPROBE}
+)
+SELECT p.query_id,
+       CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY list_cosine_similarity(ev.v, eq.v) DESC, a.vec_id) AS BIGINT) AS rank,
+       a.vec_id, round(list_cosine_similarity(ev.v, eq.v), 6) AS cos
+FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+JOIN e ev ON ev.vec_id = a.vec_id JOIN e eq ON eq.vec_id = p.query_id
+QUALIFY rank <= {_ANN_K}
+"""
+
+
+def _ivf_parts(spark, sf_dir):
+    """(emb, assign, dists) shared by sim03 and its tests."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("qv"),
+    )
+    md5key = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("md5key")
+    )
+    wc = Window.orderBy("md5key", "vec_id")
+    cent = (
+        emb.select("vec_id", "qv", md5key)
+        .orderBy("md5key", "vec_id")
+        .limit(_IVF_K)
+        .select(
+            F.row_number().over(wc).cast("long").alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    idist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", idist.alias("dist")
+    )
+    assign = dists.groupBy("vec_id").agg(
+        ((F.min(F.col("dist") * _IVF_K + F.col("cid") - 1) % _IVF_K) + 1)
+        .cast("long")
+        .alias("cell")
+    )
+    return emb, assign, dists
+
+
+@q("sim03_ann_ivf", _IVF_SQL)
+def sim03(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb, assign, dists = _ivf_parts(spark, sf_dir)
+    wp = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    probes = (
+        dists.filter(F.col("vec_id").isin(_ANN_QUERY_IDS))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    qv = emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("q_nrm"),
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_raw",
+            _dot(F.col("v"), F.col("q_v"))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.col("q_nrm")),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "vec_id", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TX5 — WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+# "Winnowing: local algorithms for document fingerprinting", SIGMOD 2003):
+# the rolling-fingerprint scheme behind MOSS.  Word-3-gram hashes in
+# position order; every window of W consecutive hashes selects its minimum
+# (rightmost on ties — the robust-winnowing rule), and the distinct
+# selected (position, hash) pairs are the fingerprint set, guaranteeing a
+# shared fingerprint for any match of length ≥ W+NGRAM−1 tokens.
+#
+# The rightmost-min selection is ONE integer window-min via the encoded key
+#   h·2^20 + (2^20−1 − pos)
+# (min over the frame ⇒ smallest hash, largest position on ties) — a single
+# partitionBy(doc) window, no self-join, identical arithmetic in DuckDB.
+# Documents are turns (≪ 2^20 grams; guarded).  Scale shape: one shuffle by
+# doc_id, frame state bounded by W.
+# ---------------------------------------------------------------------------
+_WIN_W = 4
+_WIN_POS_BITS = 20
+_WIN_POS_CAP = (1 << _WIN_POS_BITS) - 1
+
+_TX5_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i-1 AS pos,
+         CAST(concat('0x', substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),1,8)) AS BIGINT) AS h,
+         len(t)-{_NGRAM - 1} AS ng
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-{_NGRAM - 2})) AS i)
+  WHERE len(t) >= {_NGRAM}
+),
+sel AS (
+  SELECT doc_id, pos, ng,
+         min(h*{1 << _WIN_POS_BITS} + ({_WIN_POS_CAP} - pos)) OVER
+           (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS mkey
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       CAST({_WIN_POS_CAP} - (mkey % {1 << _WIN_POS_BITS}) AS BIGINT) AS pos,
+       CAST(mkey // {1 << _WIN_POS_BITS} AS BIGINT) AS fp
+FROM sel WHERE pos <= ng - {_WIN_W}
+"""
+
+
+@q("tx05_winnowing", _TX5_SQL)
+def tx05(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), n - _NGRAM),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    grams = (
+        docs.filter(n >= _NGRAM)
+        .select(
+            "doc_id",
+            (n - (_NGRAM - 1)).cast("long").alias("ng"),
+            F.posexplode(grams_arr).alias("pos", "gram"),
+        )
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+        )
+    )
+    # pos < 2^20 invariant (turn-sized documents); a violation would corrupt
+    # the encoded key silently, so fail loudly instead
+    key = (
+        F.when(F.col("pos") > _WIN_POS_CAP, F.raise_error("tx05: pos >= 2^20"))
+        .otherwise(F.expr(f"shiftleft(h, {_WIN_POS_BITS})") + (_WIN_POS_CAP - F.col("pos")))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    sel = grams.withColumn("mkey", F.min(key).over(w)).filter(
+        F.col("pos") <= F.col("ng") - _WIN_W
+    )
+    return sel.select(
+        "doc_id",
+        F.expr(
+            f"CAST({_WIN_POS_CAP} - (mkey & CAST({_WIN_POS_CAP} AS BIGINT)) AS BIGINT)"
+        ).alias("pos"),
+        F.expr(f"shiftright(mkey, {_WIN_POS_BITS})").cast("long").alias("fp"),
+    ).distinct()

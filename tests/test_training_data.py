@@ -255,3 +255,113 @@ def test_dd03_identical_doc_flood_stays_linear(spark, tmp_path):
     flood = out.filter((F.col("doc_a") < n_dup) & (F.col("doc_b") < n_dup))
     assert flood.count() == n_dup * (n_dup - 1) // 2
     assert flood.filter(F.col("jaccard") != 1.0).count() == 0
+
+
+def test_dd09_banding_is_lossless(spark):
+    """DD9's pigeonhole band join must find EXACTLY the all-pairs Hamming
+    <= RADIUS set (banding with RADIUS+1 disjoint bands is lossless, not
+    probabilistic) — verified against a direct all-pairs popcount."""
+    from localsearchengine_spark.plans import training_data as td
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in td.dd09(spark, SF_DIR).collect()
+    }
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in td._simhash_df(
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        ).collect()
+    }
+    ids = sorted(sh)
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= td._DD09_RADIUS
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sim03_cells_partition_and_recall(spark):
+    """IVF invariants: every vector lands in exactly one cell; all K cells
+    are non-degenerate on the fixture; and nprobe=4/16 recall vs the exact
+    brute-force top-10 clears 2x the random-probe baseline (the synthetic
+    embeddings are near-uniform, so 0.5 mean measured; the knob at real
+    data is nprobe)."""
+    import numpy as np
+
+    from localsearchengine_spark.plans import training_data as td
+
+    emb, assign, _ = td._ivf_parts(spark, SF_DIR)
+    cells = assign.collect()
+    assert len(cells) == emb.count()  # one cell per vector
+    sizes = {}
+    for r in cells:
+        assert 1 <= r["cell"] <= td._IVF_K
+        sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+    assert len(sizes) == td._IVF_K
+
+    rows = emb.select("vec_id", "v").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["v"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(V, axis=1)
+    got = {}
+    for r in td.sim03(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for q in td._ANN_QUERY_IDS:
+        qi = int(np.where(ids == q)[0][0])
+        cos = V @ V[qi] / (nrm * nrm[qi])
+        cos[qi] = -2.0
+        order = np.lexsort((ids, -cos))
+        exact = set(ids[order[: td._ANN_K]].tolist())
+        recalls.append(len(got.get(q, set()) & exact) / td._ANN_K)
+    assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_tx05_winnowing_coverage_and_match_guarantee(spark, tmp_path):
+    """The two winnowing theorems (Schleimer et al. 2003) on real data:
+    (1) coverage — every window of W consecutive gram positions contains a
+    selected fingerprint; (2) the match guarantee — two documents sharing
+    a token run of length >= W + NGRAM - 1 share a fingerprint hash."""
+    from localsearchengine_spark.plans import training_data as td
+
+    sel = {}
+    for r in td.tx05(spark, SF_DIR).collect():
+        sel.setdefault(r["doc_id"], set()).add(r["pos"])
+    ng = {
+        r["doc_id"]: r["ng"]
+        for r in spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select(
+            "doc_id",
+            (F.size(F.split("text", " ")) - (td._NGRAM - 1)).alias("ng"),
+        )
+        .filter(F.col("ng") >= td._WIN_W)
+        .collect()
+    }
+    assert set(sel) == set(ng)
+    for doc, n in ng.items():
+        poss = sel[doc]
+        for s in range(0, n - td._WIN_W + 1):
+            assert any(s <= p < s + td._WIN_W for p in poss), (doc, s)
+
+    # (2) shared run of W + NGRAM - 1 = 6 tokens, different surroundings
+    run = "alpha beta gamma delta epsilon zeta"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [
+                    "one two three " + run + " four five six seven",
+                    "red green blue cyan " + run + " pink white",
+                ],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = td.tx05(spark, str(tmp_path)).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]
