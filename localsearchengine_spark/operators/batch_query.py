@@ -146,6 +146,41 @@ def decode_postings_df(spark: SparkSession, index_dir: str, terms: list[str]) ->
     )
 
 
+def facet_counts(
+    spark: SparkSession,
+    index,
+    terms: list[str],
+    facet_df: DataFrame,
+    facet_col: str,
+    mode: str = "and",
+) -> DataFrame:
+    """A25: distributed faceted search — per facet value, the count of ALL
+    docs matching the query (full recall, not top-k: facets summarize the
+    whole result set, so the driver-local heap path doesn't apply).
+
+    Shape for scale: the decode touches only the query terms' postings
+    (term + pid pruned scan); the match test is one hash aggregate on
+    doc_id whose partial (map-side) combine collapses each doc's ≤|terms|
+    rows before the shuffle; the facet join is doc_id-keyed against the
+    metadata table (matched ids ≪ corpus, AQE picks the strategy) and the
+    final groupBy emits one row per facet value.  No collect anywhere.
+    """
+    terms = sorted(set(terms))
+    decoded = decode_postings_df(spark, index.index_dir, terms)
+    # one row per (term, doc) by index construction → count(*) == distinct terms
+    per_doc = decoded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    if mode == "and":
+        per_doc = per_doc.filter(F.col("nt") == len(terms))
+    elif mode != "or":
+        raise ValueError(f"unknown mode: {mode}")
+    return (
+        per_doc.select("doc_id")
+        .join(facet_df.select("doc_id", facet_col), "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def filter_blocks_tau(
     rows: DataFrame, spark: SparkSession, tau: dict[str, float], inverse: bool = False
 ) -> DataFrame:

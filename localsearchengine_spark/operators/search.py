@@ -253,6 +253,28 @@ class Index:
         )
         return {r["term"]: r for r in tbl.to_pylist()}
 
+    # ---- A23: prefix expansion (multi-term query rewrite) ------------------
+    def expand_prefix(self, prefix: str, limit: int = 16) -> list[str]:
+        """Dictionary range scan: terms starting with ``prefix``, keeping the
+        ``limit`` highest-df ones (df desc, term asc — a deterministic rewrite
+        order, so the same query expands identically on every run and in the
+        SQL oracle).  The prefix is expressed as a half-open term range
+        ``[prefix, prefix+1)`` so the parquet scan prunes on the dictionary's
+        term min/max statistics instead of reading the vocabulary — at
+        10^12-turn vocabularies the dictionary is many files and a full scan
+        per wildcard would dominate query latency."""
+        import pyarrow.dataset as ds
+
+        if not prefix:
+            raise ValueError("empty prefix")
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        tbl = self._dataset("dictionary").to_table(
+            columns=["term", "df"],
+            filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
+        )
+        rows = sorted(tbl.to_pylist(), key=lambda r: (-int(r["df"]), r["term"]))
+        return [r["term"] for r in rows[:limit]]
+
     # ---- A15: posting fetch + decode --------------------------------------
     # Interactive queries deliberately bypass Spark job launch (SURVEY.md
     # §3.2): a pyarrow dataset scan applies the same parquet predicate
@@ -371,8 +393,62 @@ class Index:
         rows = self.fetch_docs([d for d, _ in hits])
         return [(d, s, rows[d]) for d, s in hits]
 
+    # ---- A24: snippet generation (hit highlighting) ------------------------
+    def snippets(self, query, k: int = 10, mode: str = "and",
+                 before: int = 2, after: int = 4, prefix_limit: int = 16):
+        """search() + contextual snippets: for each hit, the window of
+        ``before`` + 1 + ``after`` analyzed tokens around the EARLIEST
+        occurrence of any positive query term, joined with single spaces →
+        list of (doc_id, score, snippet) in rank order.
+
+        The anchor position comes from the positional index
+        (TermPostings.positions_for), not from re-scanning the document —
+        at scale the doc text is fetched only for the k result docs
+        (O(result) I/O via the range-partitioned doc store) and only those
+        k texts are re-analyzed to materialize the window."""
+        if not self.conf.store_positions:
+            raise ValueError(
+                "snippets need a positional index (BuildConfig.store_positions)"
+            )
+        if isinstance(query, str):
+            bare, phrases, excluded, prefixes = parse_query(query, self.cfg)
+            anchor_terms = sorted(
+                set(bare)
+                | {t for ph in phrases for t in ph}
+                | {t for p in prefixes
+                   for t in self.expand_prefix(p, limit=prefix_limit)}
+            )
+        else:
+            anchor_terms = sorted(set(query))
+        hits = self.search(query, k=k, mode=mode, prefix_limit=prefix_limit)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        ids_sorted = np.sort(ids)
+        post = self.fetch_postings(anchor_terms)
+        first_pos: dict[int, int] = {}
+        for t in anchor_terms:  # sorted term order — deterministic ties
+            p = post.get(t)
+            if p is None:
+                continue
+            for did, positions in p.positions_for(ids_sorted).items():
+                if len(positions):
+                    cur = first_pos.get(did)
+                    a = int(positions[0])
+                    if cur is None or a < cur:
+                        first_pos[did] = a
+        rows = self.fetch_docs(ids)
+        out = []
+        for did, score in hits:
+            toks = tokenize_text(rows[did]["text"], self.cfg)
+            a = first_pos.get(int(did), 0)
+            window = toks[max(0, a - before): a + after + 1]
+            out.append((int(did), float(score), " ".join(window)))
+        return out
+
     # ---- A13 + A16/A17/A18 + A19: search ----------------------------------
-    def search(self, query: str | list[str], k: int = 10, mode: str = "and"):
+    def search(self, query: str | list[str], k: int = 10, mode: str = "and",
+               prefix_limit: int = 16):
         """→ list[(doc_id, score)] — score desc, doc_id asc tie-break.
 
         mode="and"  — conjunctive posting intersection (A16), reference
@@ -382,13 +458,17 @@ class Index:
 
         String queries support a minimal query language:
         ``"an exact phrase"`` (requires a positional index,
-        BuildConfig.store_positions=True) and ``-excluded`` terms; both
-        compose with bare terms, which keep the mode's semantics.
+        BuildConfig.store_positions=True), ``-excluded`` terms and
+        ``prefix*`` wildcards (A23 dictionary-rewrite); all compose with
+        bare terms, which keep the mode's semantics.
         """
         if isinstance(query, str):
-            bare, phrases, excluded = parse_query(query, self.cfg)
-            if phrases or excluded:
-                return self._structured_search(bare, phrases, excluded, k, mode)
+            bare, phrases, excluded, prefixes = parse_query(query, self.cfg)
+            groups = [self.expand_prefix(p, limit=prefix_limit) for p in prefixes]
+            if phrases or excluded or groups:
+                return self._structured_search(
+                    bare, phrases, excluded, k, mode, groups=groups
+                )
             terms = bare
         else:
             terms = list(query)
@@ -408,15 +488,21 @@ class Index:
             return wand_topk(plists, k, self.cfg)
         raise ValueError(f"unknown mode: {mode}")
 
-    def _structured_search(self, bare, phrases, excluded, k, mode):
+    def _structured_search(self, bare, phrases, excluded, k, mode, groups=()):
         """Query-language semantics per mode, minus exclusions; scored by
         BM25 over the positive terms (sorted term order), ties by doc_id.
 
-        mode="and": every bare term AND every phrase must match.
-        mode="or"/"wand": a doc matches if it contains ANY bare term or ANY
+        mode="and": every bare term AND every phrase AND at least one term
+        of every prefix ``group`` must match.
+        mode="or"/"wand": a doc matches if it contains ANY bare term, ANY
         complete phrase (each phrase itself is still an exact adjacency
-        match).  A bare term absent from the corpus just contributes
-        nothing in or-mode but empties the result in and-mode.
+        match) or ANY group term.  A bare term absent from the corpus just
+        contributes nothing in or-mode but empties the result in and-mode.
+
+        Every matched term — bare, phrase member or group expansion —
+        contributes its own idf·tf_norm where present (the standard
+        multi-term rewrite: a wildcard scores as the disjunction of its
+        expansions), summed in sorted term order.
         """
         from localsearchengine_spark.operators.wand import _contrib_at
 
@@ -425,7 +511,8 @@ class Index:
                 "phrase query on an index built without positions "
                 "(BuildConfig.store_positions=True)"
             )
-        positive = sorted({t for ph in phrases for t in ph} | set(bare))
+        required = sorted({t for ph in phrases for t in ph} | set(bare))
+        positive = sorted(set(required) | {t for g in groups for t in g})
         if not positive:
             return []
         post = self.fetch_postings(positive)
@@ -459,15 +546,32 @@ class Index:
                 keep[i] = ok
             return ids[keep]
 
+        def group_ids(g):
+            """union of the group's matching doc_ids (a prefix clause)."""
+            sets = [post[t].doc_ids for t in g if t in post]
+            if not sets:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(sets))
+
         if mode == "and":
-            if len(post) < len(positive):
+            if any(t not in post for t in required):
                 return []  # a required term is absent from the corpus
-            order = sorted((post[t] for t in positive), key=lambda p: p.df)
-            ids = order[0].doc_ids
-            for p in order[1:]:
+            cand = [post[t] for t in required]
+            if not cand and groups:
+                ids = group_ids(min(groups, key=lambda g: sum(
+                    post[t].df for t in g if t in post)))
+            else:
+                order = sorted(cand, key=lambda p: p.df)
+                ids = order[0].doc_ids
+                for p in order[1:]:
+                    if len(ids) == 0:
+                        return []
+                    ids = ids[_contrib_at(p, ids) > 0.0]
+            for g in groups:
                 if len(ids) == 0:
                     return []
-                ids = ids[_contrib_at(p, ids) > 0.0]
+                gi = group_ids(g)
+                ids = ids[np.isin(ids, gi)]
             for ph in phrases:
                 ids = phrase_ids(ph, cand=ids)
                 if len(ids) == 0:
@@ -475,6 +579,7 @@ class Index:
         else:  # "or" / "wand": union of matching clauses
             cand_sets = [post[t].doc_ids for t in bare if t in post]
             cand_sets += [phrase_ids(ph) for ph in phrases]
+            cand_sets += [group_ids(g) for g in groups]
             cand_sets = [c for c in cand_sets if len(c)]
             if not cand_sets:
                 return []
@@ -495,8 +600,9 @@ class Index:
 
 
 def parse_query(q: str, cfg: BM25Config):
-    """Minimal query language: quoted phrases, ``-term`` exclusions, bare
-    terms.  All text goes through the index analyzer (A13)."""
+    """Minimal query language: quoted phrases, ``-term`` exclusions,
+    trailing-``*`` prefix wildcards, bare terms.  All text goes through the
+    index analyzer (A13); a prefix wildcard keeps only the analyzed stem."""
     import re as _re
 
     phrases: list[list[str]] = []
@@ -510,12 +616,17 @@ def parse_query(q: str, cfg: BM25Config):
     rest = _re.sub(r'"([^"]*)"', grab, q)
     bare: list[str] = []
     excluded: list[str] = []
+    prefixes: list[str] = []
     for w in rest.split():
         if w.startswith("-") and len(w) > 1:
             excluded.extend(tokenize_text(w[1:], cfg))
+        elif w.endswith("*") and len(w) > 1:
+            stem = tokenize_text(w[:-1], cfg)
+            if stem:
+                prefixes.append(stem[-1])
         else:
             bare.extend(tokenize_text(w, cfg))
-    return sorted(set(bare)), phrases, sorted(set(excluded))
+    return sorted(set(bare)), phrases, sorted(set(excluded)), sorted(set(prefixes))
 
 
 def _score_at(plists, ids: np.ndarray, cfg: BM25Config) -> np.ndarray:

@@ -136,11 +136,14 @@ def b04(spark, sf_dir):
     "b05_join_anti",
     """SELECT c_custkey, c_name
        FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 250000)""",
 )
 def b05(spark, sf_dir):
+    # right side filtered so the anti join is non-empty at test scales —
+    # "no customer lacks an order" would make this a 0-row (hollow) gate
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -764,7 +767,9 @@ def fts12(spark, sf_dir):
 _FTS14_QUERIES = [
     {"query_id": 1, "phrase": ["spark", "join"], "k": 10},
     {"query_id": 2, "phrase": ["data", "table"], "k": 10},
-    {"query_id": 3, "phrase": ["the", "query", "plan"], "k": 10},
+    # 3-token phrase chosen to MATCH at both test scales ("the query plan"
+    # never occurs in the fixtures — a 0-row phrase gate proves nothing)
+    {"query_id": 3, "phrase": ["the", "big", "data"], "k": 10},
 ]
 
 
@@ -993,6 +998,169 @@ def fts09(spark, sf_dir):
     hits = index.search(_FTS9_TERMS, k=12, mode="wand")
     return spark.createDataFrame(
         [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# FTS16 — prefix wildcard query (A23): the dictionary range scan expands
+# "s*" to the `limit` highest-df matching terms (df desc, term asc — a
+# deterministic rewrite), which then score as a disjunction through the
+# block-max WAND path.  The oracle performs the SAME expansion in SQL.
+# ---------------------------------------------------------------------------
+_FTS16_PREFIX, _FTS16_LIMIT, _FTS16_K = "s", 4, 15
+
+
+def _prefix_sql(prefix: str, limit: int, k: int) -> str:
+    cfg = BM25Config()
+    idf = cfg.idf_sql("df.df", "stats.n")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                 / (SELECT count(*) FROM documents) AS avgdl),
+alltf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+          WHERE term LIKE '{prefix}%' GROUP BY doc_id, term),
+dfall AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM alltf GROUP BY term),
+-- the engine's rewrite: `limit` highest-df prefix matches, ties by term
+df AS (SELECT term, df FROM dfall ORDER BY df DESC, term LIMIT {limit}),
+scores AS (
+  SELECT tf.doc_id,
+         sum({idf} * ({cfg.k1} + 1.0) * tf.tf
+             / (tf.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dl.dl / stats.avgdl))) AS s
+  FROM alltf tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scores
+ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+@q("fts16_engine_prefix", _prefix_sql(_FTS16_PREFIX, _FTS16_LIMIT, _FTS16_K))
+def fts16(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    hits = index.search(
+        _FTS16_PREFIX + "*", k=_FTS16_K, mode="wand", prefix_limit=_FTS16_LIMIT
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# FTS17 — distributed faceted search (A25): per facet value, the count of
+# ALL docs matching the conjunctive query — full recall over the decoded
+# postings (term+pid-pruned scan → map-side-combined match test → metadata
+# join), not a top-k.  Facet field comes from the documents metadata table.
+# ---------------------------------------------------------------------------
+_FTS17_TERMS = ["join", "spark"]  # sorted
+
+
+@q(
+    "fts17_facet_counts",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term FROM toks
+       WHERE term IN ({", ".join(f"'{t}'" for t in _FTS17_TERMS)})
+       GROUP BY doc_id, term),
+m AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = {len(_FTS17_TERMS)})
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents USING (doc_id) GROUP BY lang""",
+)
+def fts17(spark, sf_dir):
+    from localsearchengine_spark.operators.batch_query import facet_counts
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    docs = _t(spark, sf_dir, "documents")
+    return facet_counts(spark, index, _FTS17_TERMS, docs, "lang", mode="and")
+
+
+# ---------------------------------------------------------------------------
+# FTS18 — snippet generation (A24): top-k conjunctive hits materialized as
+# a window of analyzed tokens around the earliest query-term occurrence.
+# Anchors come from the positional index; only the k result docs' texts are
+# fetched (range-pruned doc store) and re-analyzed.  Oracle: same window
+# arithmetic over DuckDB list ops (list_position is 1-based, the engine's
+# positions are 0-based — the slice bounds below encode that shift).
+# ---------------------------------------------------------------------------
+_FTS18_TERMS = ["query", "window"]  # sorted; both in-vocabulary (non-empty gate)
+_FTS18_K, _FTS18_BEFORE, _FTS18_AFTER = 10, 2, 4
+
+
+def _snippet_sql(terms: list[str], k: int, before: int, after: int) -> str:
+    inner = _bm25_sql(terms, k, "and")
+    anchor = "least(" + ", ".join(f"list_position(tk, '{t}')" for t in terms) + ")"
+    return f"""
+WITH top AS ({inner}),
+toklist AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS tk
+  FROM documents
+)
+SELECT top.doc_id, top.score,
+       array_to_string(
+         list_slice(tk, greatest(1, {anchor} - {before}), {anchor} + {after}),
+         ' ') AS snippet
+FROM top JOIN toklist USING (doc_id)
+"""
+
+
+@q(
+    "fts18_engine_snippets",
+    _snippet_sql(_FTS18_TERMS, _FTS18_K, _FTS18_BEFORE, _FTS18_AFTER),
+)
+def fts18(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir, positions=True))
+    snips = index.snippets(
+        _FTS18_TERMS, k=_FTS18_K, mode="and",
+        before=_FTS18_BEFORE, after=_FTS18_AFTER,
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6), sn) for d, s, sn in snips],
+        "doc_id long, score double, snippet string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# FTS19 — corpus term statistics from the engine dictionary (A5/A6/A14
+# gate): the as-built per-term df (docs containing) and cf (total
+# occurrences) must equal a from-scratch SQL recount.  Top-20 by (df desc,
+# term asc) — a deterministic boundary, so the LIMIT binds identically.
+# ---------------------------------------------------------------------------
+@q(
+    "fts19_top_terms",
+    """WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+)
+def fts19(spark, sf_dir):
+    import os as _os
+
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    dic = spark.read.parquet(
+        _os.path.join(ensure_documents_index(spark, sf_dir), "dictionary")
+    )
+    return (
+        dic.select("term", F.col("df").cast("long").alias("df"),
+                   F.col("cf").cast("long").alias("cf"))
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
     )
 
 

@@ -1425,3 +1425,38 @@ def tx05(spark, sf_dir):
         ).alias("pos"),
         F.expr(f"shiftright(mkey, {_WIN_POS_BITS})").cast("long").alias("fp"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# TX6 — BPE-ish subword-boundary token counting (training-data pipeline:
+# budget estimation / length filtering before real tokenization).  A GPT-2
+# style pre-tokenizer regex — contraction suffixes, space-prefixed letter
+# runs, digit runs, punctuation runs — applied JVM-side with Spark's
+# regexp_extract_all (zero Python in the plan), next to the plain
+# whitespace count.  The alternation is leftmost-first in all three regex
+# engines involved (Java here, RE2 in the DuckDB oracle, Python re in
+# tests — verified identical on punctuation/contraction/unicode edges).
+# ---------------------------------------------------------------------------
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+_TX6_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_ws
+FROM documents
+"""
+
+
+@q("tx06_bpe_token_count", _TX6_SQL)
+def tx06(spark, sf_dir):
+    n_bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    trimmed = F.trim(F.col("text"))
+    n_ws = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe"),
+        n_ws.cast("long").alias("n_ws"),
+    )

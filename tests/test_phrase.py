@@ -15,10 +15,13 @@ from localsearchengine_spark.sources.fixtures import write_transcripts_parquet
 
 def test_parse_query():
     cfg = BM25Config()
-    bare, phrases, excluded = parse_query('"Spark SQL engine" fast -slow "b c"', cfg)
+    bare, phrases, excluded, prefixes = parse_query(
+        '"Spark SQL engine" fast -slow "b c" eng*', cfg
+    )
     assert bare == ["fast"]
     assert phrases == [["spark", "sql", "engine"], ["b", "c"]]
     assert excluded == ["slow"]
+    assert prefixes == ["eng"]
 
 
 @pytest.fixture(scope="module")
