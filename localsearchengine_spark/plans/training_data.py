@@ -1460,3 +1460,100 @@ def tx06(spark, sf_dir):
         n_bpe.cast("long").alias("n_bpe"),
         n_ws.cast("long").alias("n_ws"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TX7 — unigram-LM quality scoring (the CCNet-style proxy: documents whose
+# tokens are improbable under the corpus unigram distribution are junk or
+# off-domain).  score(d) = (1/|d|) Σ_t∈d ln(cf_t / C) over analyzer tokens;
+# higher (less negative) = more typical text.  Two scale-free passes: the
+# term-frequency table (vocabulary-sized, broadcast) and one per-doc sum —
+# a real LM would need a model artifact; the unigram field is derivable
+# from the corpus itself, which is what makes it a pipeline operator.
+# Float note: the per-doc sum is order-sensitive at ~1e-13 relative error;
+# round(…, 6) absorbs it (same convention as every scored oracle here).
+# ---------------------------------------------------------------------------
+_TX7_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM toks GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM toks)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln(cf.cf / tot.c)) / count(*), 6) AS avg_logprob
+FROM toks JOIN cf USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@q("tx07_unigram_logprob", _TX7_SQL)
+def tx07(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[0-9a-z_]+', 0)")
+        ).alias("term"),
+    )
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return (
+        toks.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cf") / F.col("c"))) / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAMP2 — deterministic TOKEN-PROPORTIONAL sampling: keep each document
+# with probability ∝ its size, so the kept set is a uniform sample over
+# CONTENT rather than over documents (the mix a token-budgeted training
+# run wants — long docs must not be under-represented).  Same md5-bucket
+# construction as samp01; the acceptance test is the integer
+# cross-multiplication  bucket·Σw < target·w·BUCKETS  (no float rate →
+# bit-identical across engines, re-runs and repartitions).  Overflow
+# bound: Σw·BUCKETS must stay < 2^63 — with 10^6 buckets that allows
+# ~9.2e12 total weight; beyond that, shrink BUCKETS or widen to decimals.
+# ---------------------------------------------------------------------------
+_SAMP2_TARGET = 60
+_SAMP2_BUCKETS = 1_000_000
+
+_SAMP2_SQL = f"""
+WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM documents)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS weight,
+       CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % {_SAMP2_BUCKETS} AS BIGINT) AS bucket
+FROM documents d CROSS JOIN tot
+WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {_SAMP2_BUCKETS} * tot.w
+      < {_SAMP2_TARGET} * d.n_chars * {_SAMP2_BUCKETS}
+"""
+
+
+@q("samp02_weighted_sample", _SAMP2_SQL)
+def samp02(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _SAMP2_BUCKETS
+    )
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .withColumn("bucket", bucket)
+        .filter(
+            F.col("bucket") * F.col("w")
+            < F.lit(_SAMP2_TARGET * _SAMP2_BUCKETS) * F.col("n_chars")
+        )
+        .select(
+            "doc_id", F.col("n_chars").cast("long").alias("weight"), "bucket"
+        )
+    )
