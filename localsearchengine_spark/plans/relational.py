@@ -1165,6 +1165,101 @@ def fts19(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FTS20 — hybrid search: reciprocal-rank fusion of the lexical (engine
+# BM25/WAND top-K) and vector (embedding similarity top-K) legs —
+# score(d) = Σ_legs 1/(60 + rank_leg(d)), the standard RRF.  The vector
+# leg ranks by the INTEGER dot product over sim02's ×1000-quantized
+# embeddings, so every rank that feeds the fusion is integer-exact (no
+# float-summation-order risk at a rank boundary); the fused score itself
+# is two IEEE divisions + one add, bit-identical across engines.  At
+# scale each leg is an independent top-K (WAND / TakeOrdered) and the
+# fusion joins two K-row sets — cost lives in the legs, not the fusion.
+# ---------------------------------------------------------------------------
+_FTS20_TERMS = ["data", "table"]  # sorted
+_FTS20_QVEC = 0        # query embedding = vec_id 0 (vec_id ≡ doc_id)
+_FTS20_LEG_K = 20
+_FTS20_K = 10
+_FTS20_RRF = 60
+
+
+def _rrf_sql() -> str:
+    lex_inner = _bm25_sql(_FTS20_TERMS, _FTS20_LEG_K, "or", qid=0)
+    return f"""
+WITH lex AS (SELECT doc_id, rank AS r FROM ({lex_inner})),
+e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT)) AS qv
+      FROM embeddings),
+q AS (SELECT qv FROM e WHERE vec_id = {_FTS20_QVEC}),
+dots AS (SELECT e.vec_id,
+                CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+                     i -> e.qv[i] * q.qv[i])) AS BIGINT) AS dot
+         FROM e, q),
+vec AS (SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS r
+        FROM dots ORDER BY dot DESC, vec_id LIMIT {_FTS20_LEG_K}),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0::DOUBLE / CAST({_FTS20_RRF} + l.r AS DOUBLE), 0.0)
+         + coalesce(1.0::DOUBLE / CAST({_FTS20_RRF} + v.r AS DOUBLE), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {_FTS20_K}
+"""
+
+
+@q("fts20_hybrid_rrf", _rrf_sql())
+def fts20(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    hits = index.search(_FTS20_TERMS, k=_FTS20_LEG_K, mode="wand")
+    lex = spark.createDataFrame(
+        [(int(d), r + 1) for r, (d, _) in enumerate(hits)], "doc_id long, lr long"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("qv"),
+    )
+    qv = emb.filter(F.col("vec_id") == _FTS20_QVEC).select("qv").collect()[0]["qv"]
+    qlit = F.array(*[F.lit(int(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vec = (
+        emb.select(F.col("vec_id").alias("doc_id"), dot.alias("dot"))
+        .orderBy(F.desc("dot"), "doc_id")
+        .limit(_FTS20_LEG_K)
+        .withColumn(
+            "vr",
+            F.row_number().over(Window.orderBy(F.desc("dot"), "doc_id")).cast("long"),
+        )
+        .select("doc_id", "vr")
+    )
+    one = F.lit(1.0)
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(one / (F.lit(_FTS20_RRF) + F.col("lr")).cast("double"), F.lit(0.0))
+                + F.coalesce(one / (F.lit(_FTS20_RRF) + F.col("vr")).cast("double"), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_FTS20_K)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"))
+    )
+    return fused
+
+
+# ---------------------------------------------------------------------------
 # DD1 — exact dedup stats (hash-groupBy dedup, documents)
 # ---------------------------------------------------------------------------
 @q(

@@ -1557,3 +1557,185 @@ def samp02(spark, sf_dir):
             "doc_id", F.col("n_chars").cast("long").alias("weight"), "bucket"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SK1 — count-min sketch (Cormode & Muthukrishnan, J.Alg 2005): term
+# frequencies estimated from a d×w = 4×256 cell grid that NEVER grows with
+# the vocabulary — the sketch is what survives when the exact per-term agg
+# (fts19) stops fitting: cells partial-aggregate map-side and the merged
+# sketch is 1 KB regardless of corpus size.  Hashes are md5-derived
+# integers (the cross-engine portability contract), so the sketch — and
+# therefore every estimate — is bit-identical in the SQL oracle; the gate
+# pins construction + probe parity, with the exact count alongside to show
+# the one-sided (over-estimate) error.
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 256
+_CMS_PROBES = ["data", "join", "spark", "the", "zzz_absent"]  # sorted
+
+
+def _cms_hash_sql(term_expr: str, j_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat({term_expr}, '#', "
+        f"CAST({j_expr} AS VARCHAR))), 1, 15)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+_SK1_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+rows_j AS (SELECT unnest(range({_CMS_D})) AS j),
+sketch AS (
+  SELECT j, {_cms_hash_sql('term', 'j')} AS cell, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks, rows_j GROUP BY 1, 2
+),
+probes(term) AS (VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}),
+probe_cells AS (
+  SELECT p.term, r.j, {_cms_hash_sql('p.term', 'r.j')} AS cell
+  FROM probes p, rows_j r
+),
+est AS (
+  SELECT pc.term, min(coalesce(s.cnt, 0)) AS est
+  FROM probe_cells pc LEFT JOIN sketch s ON s.j = pc.j AND s.cell = pc.cell
+  GROUP BY pc.term
+),
+exact AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+          WHERE term IN ({", ".join(f"'{t}'" for t in _CMS_PROBES)}) GROUP BY term)
+SELECT e.term, CAST(e.est AS BIGINT) AS est_cf,
+       CAST(coalesce(x.cf, 0) AS BIGINT) AS exact_cf
+FROM est e LEFT JOIN exact x USING (term)
+"""
+
+
+def _cms_hash_col(term_col, j_col):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(term_col, F.lit("#"), j_col.cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@q("sk01_countmin_freq", _SK1_SQL)
+def sk01(spark, sf_dir):
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[0-9a-z_]+', 0)")
+        ).alias("term")
+    )
+    rows_j = spark.range(_CMS_D).select(F.col("id").cast("long").alias("j"))
+    sketch = (
+        toks.crossJoin(F.broadcast(rows_j))
+        .groupBy("j", _cms_hash_col(F.col("term"), F.col("j")).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+    probe_cells = probes.crossJoin(rows_j).select(
+        "term", "j", _cms_hash_col(F.col("term"), F.col("j")).alias("cell")
+    )
+    est = (
+        probe_cells.join(sketch, ["j", "cell"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cf"))
+    )
+    exact = (
+        toks.filter(F.col("term").isin(_CMS_PROBES))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term",
+        F.col("est_cf").cast("long").alias("est_cf"),
+        F.coalesce(F.col("cf"), F.lit(0)).cast("long").alias("exact_cf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SK2 — HyperLogLog distinct counting from scratch (Flajolet et al. 2007),
+# m=64 registers over a 60-bit md5 hash: idx = low 6 bits, rho = leading-
+# zero run of the remaining 54 bits + 1 (via length(bin(v)) — both engines
+# print minimal binary).  The register harmonic sum Σ2^-M[j] is computed
+# as the INTEGER Σ2^(55-M[j]) (≤ 2^61, exact) so no float summation-order
+# can move the estimate; the only floats are one division and the
+# small-range linear-counting ln, both round-6-stable cross-engine.
+# Unlike approx01 (approx_count_distinct, rows-only check), this sketch
+# is fully driver-gated — same registers, same estimate, to the bit.
+# Scale shape: the register table partial-aggregates map-side (64 groups),
+# and union of sketches = elementwise max — the mergeable-summary property
+# that makes it a pipeline operator.
+# ---------------------------------------------------------------------------
+_HLL_P, _HLL_M = 6, 64
+_HLL_ALPHA = 0.709  # spec constant for m=64 (0.7213/(1+1.079/m))
+
+
+_SK2_SQL = f"""
+WITH h AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM events
+),
+parts AS (SELECT hv % {_HLL_M} AS idx, hv // {_HLL_M} AS v FROM h),
+regs AS (
+  SELECT idx, max(CASE WHEN v > 0 THEN 55 - length(bin(v)) ELSE 55 END) AS m
+  FROM parts GROUP BY idx
+),
+s AS (SELECT CAST(sum(1::BIGINT << (55 - m)) AS BIGINT) AS isum,
+             CAST(count(*) AS BIGINT) AS nreg
+      FROM regs),
+est AS (
+  SELECT nreg,
+         {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+         * CAST(1::BIGINT << 55 AS DOUBLE)
+         / (CAST(isum AS DOUBLE) + CAST({_HLL_M} - nreg AS DOUBLE) * CAST(1::BIGINT << 55 AS DOUBLE)) AS raw
+  FROM s
+)
+SELECT CAST(round(CASE WHEN raw <= 2.5 * {_HLL_M} AND nreg < {_HLL_M}
+            THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / CAST({_HLL_M} - nreg AS DOUBLE))
+            ELSE raw END, 6) AS DOUBLE) AS est_distinct,
+       nreg AS nonzero_registers,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS exact_distinct
+FROM est
+"""
+
+
+@q("sk02_hll_distinct", _SK2_SQL)
+def sk02(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    v = F.expr("shiftright(hv, 6)")
+    rho = F.when(v > 0, F.lit(55) - F.length(F.bin(v))).otherwise(F.lit(55))
+    regs = (
+        ev.select(hv.alias("hv"))
+        .select((F.col("hv") % _HLL_M).alias("idx"), rho.alias("m"))
+        .groupBy("idx")
+        .agg(F.max("m").alias("m"))
+    )
+    s = regs.agg(
+        F.sum(F.expr("shiftleft(1L, CAST(55 - m AS INT))")).cast("long").alias("isum"),
+        F.count(F.lit(1)).cast("long").alias("nreg"),
+    )
+    two55 = float(1 << 55)
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        * F.lit(two55)
+        / (F.col("isum").cast("double") + (F.lit(_HLL_M) - F.col("nreg")).cast("double") * F.lit(two55))
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("nreg") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("nreg")).cast("double")),
+    ).otherwise(raw)
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return (
+        s.select(
+            F.round(est, 6).alias("est_distinct"),
+            F.col("nreg").alias("nonzero_registers"),
+        )
+        .crossJoin(F.broadcast(exact))
+    )
