@@ -1377,7 +1377,99 @@ SPARK_QUERIES["approx01_count_distinct"] = approx01
 
 
 # ---------------------------------------------------------------------------
+# B19 — exact distributed percentiles (continuous interpolation).  Spark's
+# `percentile` (exact, sort-based per group) vs DuckDB `percentile_cont`:
+# both compute linear interpolation at rank p·(n−1) over float64, so the
+# round(4) comparison is stable.
+# ---------------------------------------------------------------------------
+@q(
+    "b22_percentiles",
+    """SELECT l_returnflag,
+              round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+              round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def b22(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B20 — as-of join (each 'click' event matched to the user's most recent
+# 'view' at-or-before it).  Spark has no ASOF JOIN operator; the scalable
+# formulation is the union + carry-forward window: tag both sides, sort
+# within user by (ts, side) — views before clicks at equal ts, matching the
+# oracle's `l.ts >= r.ts` — and carry the last view forward with
+# last(..., ignorenulls).  ONE shuffle on user_id, no join explosion, no
+# per-row Python; survives arbitrarily many events per user.  The oracle is
+# DuckDB's native ASOF JOIN.  The right side is pre-aggregated per
+# (user_id, ts) so the at-equal-ts match is unique and deterministic on
+# both sides.
+# ---------------------------------------------------------------------------
+@q(
+    "b23_asof_join",
+    """WITH l AS (SELECT user_id, ts, event_id
+                  FROM events WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts AS r_ts, round(max(value), 2) AS r_value
+                  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id,
+              epoch_us(l.ts) AS ts_us,
+              epoch_us(r.r_ts) AS view_ts_us,
+              r.r_value AS view_value
+       FROM l ASOF JOIN r
+         ON l.user_id = r.user_id AND l.ts >= r.r_ts""",
+)
+def b23(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("side"), F.lit(None).cast("long").alias("v_ts_us"),
+        F.lit(None).cast("double").alias("v_val"),
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("v_val"))
+        .select(
+            "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("side"),
+            # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+            # cast to (local-tz) timestamp is shift-free
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("v_ts_us"),
+            "v_val",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(views).select(
+        "event_id", "user_id", "ts", "side",
+        F.last("v_ts_us", ignorenulls=True).over(w).alias("view_ts_us"),
+        F.last("v_val", ignorenulls=True).over(w).alias("view_value"),
+    )
+    return (
+        carried.filter((F.col("side") == 1) & F.col("view_ts_us").isNotNull())
+        .select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "view_ts_us", "view_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
+# Structured-Streaming analytics rows (st01/st02) likewise.
 # ---------------------------------------------------------------------------
-from localsearchengine_spark.plans import training_data  # noqa: E402,F401
+from localsearchengine_spark.plans import streaming_rows, training_data  # noqa: E402,F401

@@ -1,0 +1,165 @@
+"""Multi-batch Structured-Streaming semantics for streaming/analytics.py
+(A27 watermarked windowed agg, A28 applyInPandasWithState sessions).
+
+The driver rows st01/st02 gate single-batch ≡ batch-SQL equivalence; these
+tests pin the semantics only a MULTI-batch arrival can show:
+
+  * watermark late-row drop: a row older than the watermark must not
+    re-open or mutate an already-closed window's aggregate;
+  * cumulative state: applyInPandasWithState totals accumulate across
+    micro-batches and the final emission equals the batch aggregate.
+
+Determinism: one parquet file per micro-batch with strictly increasing
+mtimes (FileStreamSource orders pending files by (timestamp, path)) and
+maxFilesPerTrigger=1.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from localsearchengine_spark.streaming.analytics import (
+    run_available_now,
+    stateful_user_sessions,
+    stream_events,
+    windowed_event_aggregate,
+)
+
+
+def _write_batches(tmp_path, batches: list[pd.DataFrame]) -> str:
+    """One file per micro-batch, mtimes pinned strictly increasing."""
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop, exist_ok=True)
+    now = time.time()
+    for i, pdf in enumerate(batches):
+        p = os.path.join(drop, f"b{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    return drop
+
+
+def _events(rows) -> pd.DataFrame:
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    return pd.DataFrame(
+        {
+            "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "ts": pd.Series([pd.Timestamp(r[1]) for r in rows]).astype(
+                "datetime64[us]"
+            ),
+            "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
+            "event_type": [r[3] for r in rows],
+            "value": pd.Series([r[4] for r in rows], dtype="float64"),
+            "props": ["{}" for _ in rows],
+        }
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """b1 advances the watermark past hour-0's window end; b2's late hour-0
+    row must be dropped — the window's aggregate stays at its b0 value."""
+    b0 = _events(
+        [
+            (1, "2024-03-01 00:10:00", 1, "view", 1.0),
+            (2, "2024-03-01 01:10:00", 1, "view", 2.0),
+            (3, "2024-03-01 02:10:00", 1, "view", 4.0),
+        ]
+    )
+    b1 = _events([(4, "2024-03-01 10:10:00", 1, "view", 8.0)])
+    # late: hour-0 window [00:00, 01:00) closed once watermark hit 09:10
+    b2 = _events([(5, "2024-03-01 00:20:00", 1, "view", 16.0)])
+    drop = _write_batches(tmp_path, [b0, b1, b2])
+
+    agg = windowed_event_aggregate(
+        stream_events(spark, drop, max_files_per_trigger=1),
+        window="1 hour", watermark="1 hour",
+    )
+    tbl = run_available_now(agg, output_mode="update", timeout_s=600)
+    out = (
+        spark.table(tbl)
+        .selectExpr("w.start AS ws", "n_events", "sum_value")
+        .toPandas()
+    )
+    hour0 = out[out["ws"] == pd.Timestamp("2024-03-01 00:00:00")]
+    # exactly the one b0 emission; the late row neither re-emitted nor
+    # inflated it
+    assert len(hour0) == 1
+    assert hour0["sum_value"].iloc[0] == 1.0
+    assert hour0["n_events"].iloc[0] == 1
+    # the on-time windows all present with their exact sums
+    sums = out.groupby("ws")["sum_value"].last().to_dict()
+    assert sums[pd.Timestamp("2024-03-01 01:00:00")] == 2.0
+    assert sums[pd.Timestamp("2024-03-01 02:00:00")] == 4.0
+    assert sums[pd.Timestamp("2024-03-01 10:00:00")] == 8.0
+    assert 16.0 not in out["sum_value"].tolist()
+    assert 17.0 not in out["sum_value"].tolist()
+
+
+def test_on_time_rows_update_open_window(spark, tmp_path):
+    """A second batch inside the watermark updates the same window: update
+    mode re-emits the key with the merged aggregate."""
+    b0 = _events([(1, "2024-03-01 00:10:00", 1, "view", 1.0)])
+    b1 = _events([(2, "2024-03-01 00:20:00", 1, "view", 2.0)])
+    drop = _write_batches(tmp_path, [b0, b1])
+    agg = windowed_event_aggregate(
+        stream_events(spark, drop, max_files_per_trigger=1),
+        window="1 hour", watermark="1 hour",
+    )
+    tbl = run_available_now(agg, output_mode="update", timeout_s=600)
+    out = (
+        spark.table(tbl)
+        .selectExpr("w.start AS ws", "n_events", "sum_value")
+        .toPandas()
+        .sort_values("n_events")
+    )
+    # two emissions of the same window: (1, 1.0) then (2, 3.0)
+    assert out["n_events"].tolist() == [1, 2]
+    assert out["sum_value"].tolist() == [1.0, 3.0]
+
+
+def test_stateful_sessions_accumulate_across_batches(spark, tmp_path):
+    b0 = _events(
+        [
+            (1, "2024-03-01 00:10:00", 7, "click", 1.0),
+            (2, "2024-03-01 00:20:00", 7, "click", 2.0),
+            (3, "2024-03-01 00:30:00", 8, "view", 4.0),
+        ]
+    )
+    b1 = _events([(4, "2024-03-01 09:00:00", 7, "click", 8.0)])
+    drop = _write_batches(tmp_path, [b0, b1])
+    sess = stateful_user_sessions(stream_events(spark, drop, max_files_per_trigger=1))
+    tbl = run_available_now(sess, output_mode="update", timeout_s=600)
+    out = spark.table(tbl).toPandas()
+
+    u7 = out[out["user_id"] == 7].sort_values("n_events")
+    # partial after b0, cumulative after b1
+    assert u7["n_events"].tolist() == [2, 3]
+    assert u7["sum_value"].tolist() == [3.0, 11.0]
+    assert u7["last_ts_us"].tolist() == [
+        int(pd.Timestamp("2024-03-01 00:20:00").value // 1_000),
+        int(pd.Timestamp("2024-03-01 09:00:00").value // 1_000),
+    ]
+    # user 8 only saw b0: exactly one emission, equal to its batch aggregate
+    u8 = out[out["user_id"] == 8]
+    assert len(u8) == 1
+    assert u8["n_events"].iloc[0] == 1 and u8["sum_value"].iloc[0] == 4.0
+
+
+def test_single_file_is_single_batch_per_key(spark, tmp_path):
+    """The st01/st02 driver rows rely on one-file ⇒ one micro-batch ⇒ one
+    update row per key; pin that contract."""
+    b0 = _events(
+        [
+            (1, "2024-03-01 00:10:00", 1, "view", 1.0),
+            (2, "2024-03-01 00:20:00", 1, "view", 2.0),
+            (3, "2024-03-01 05:10:00", 2, "click", 4.0),
+        ]
+    )
+    drop = _write_batches(tmp_path, [b0])
+    sess = stateful_user_sessions(stream_events(spark, drop))
+    tbl = run_available_now(sess, output_mode="update", timeout_s=600)
+    out = spark.table(tbl).toPandas()
+    assert len(out) == out["user_id"].nunique() == 2
