@@ -411,10 +411,10 @@ class Index:
                 "snippets need a positional index (BuildConfig.store_positions)"
             )
         if isinstance(query, str):
-            bare, phrases, excluded, prefixes = parse_query(query, self.cfg)
+            bare, phrases, excluded, prefixes, _ = parse_query(query, self.cfg)
             anchor_terms = sorted(
                 set(bare)
-                | {t for ph in phrases for t in ph}
+                | {t for ph, _slop in phrases for t in ph}
                 | {t for p in prefixes
                    for t in self.expand_prefix(p, limit=prefix_limit)}
             )
@@ -457,17 +457,18 @@ class Index:
         mode="wand" — block-max WAND (A17); exact same top-k as "or"
 
         String queries support a minimal query language:
-        ``"an exact phrase"`` (requires a positional index,
-        BuildConfig.store_positions=True), ``-excluded`` terms and
-        ``prefix*`` wildcards (A23 dictionary-rewrite); all compose with
-        bare terms, which keep the mode's semantics.
+        ``"an exact phrase"`` / ``"a proximity phrase"~2`` (requires a
+        positional index, BuildConfig.store_positions=True), ``-excluded``
+        terms, ``prefix*`` wildcards (A23 dictionary-rewrite) and
+        ``term^2.5`` boosts (A29); all compose with bare terms, which keep
+        the mode's semantics.
         """
         if isinstance(query, str):
-            bare, phrases, excluded, prefixes = parse_query(query, self.cfg)
+            bare, phrases, excluded, prefixes, boosts = parse_query(query, self.cfg)
             groups = [self.expand_prefix(p, limit=prefix_limit) for p in prefixes]
-            if phrases or excluded or groups:
+            if phrases or excluded or groups or boosts:
                 return self._structured_search(
-                    bare, phrases, excluded, k, mode, groups=groups
+                    bare, phrases, excluded, k, mode, groups=groups, boosts=boosts
                 )
             terms = bare
         else:
@@ -488,37 +489,47 @@ class Index:
             return wand_topk(plists, k, self.cfg)
         raise ValueError(f"unknown mode: {mode}")
 
-    def _structured_search(self, bare, phrases, excluded, k, mode, groups=()):
+    def _structured_search(self, bare, phrases, excluded, k, mode, groups=(),
+                           boosts=None):
         """Query-language semantics per mode, minus exclusions; scored by
         BM25 over the positive terms (sorted term order), ties by doc_id.
 
         mode="and": every bare term AND every phrase AND at least one term
         of every prefix ``group`` must match.
         mode="or"/"wand": a doc matches if it contains ANY bare term, ANY
-        complete phrase (each phrase itself is still an exact adjacency
-        match) or ANY group term.  A bare term absent from the corpus just
+        complete phrase (each phrase itself is still a positional match)
+        or ANY group term.  A bare term absent from the corpus just
         contributes nothing in or-mode but empties the result in and-mode.
+
+        A phrase is ``(tokens, slop)``: matched positions must be strictly
+        increasing with each gap in [1, slop+1] — slop 0 is exact
+        adjacency (A30 proximity semantics, gap-bounded ordered match).
 
         Every matched term — bare, phrase member or group expansion —
         contributes its own idf·tf_norm where present (the standard
         multi-term rewrite: a wildcard scores as the disjunction of its
-        expansions), summed in sorted term order.
+        expansions), summed in sorted term order; a ``boosts`` entry
+        multiplies that term's contribution (A29 — boosts weight scores,
+        never match semantics).
         """
         from localsearchengine_spark.operators.wand import _contrib_at
 
+        boosts = boosts or {}
+        phrases = [ph if isinstance(ph, tuple) else (ph, 0) for ph in phrases]
         if phrases and not self.conf.store_positions:
             raise ValueError(
                 "phrase query on an index built without positions "
                 "(BuildConfig.store_positions=True)"
             )
-        required = sorted({t for ph in phrases for t in ph} | set(bare))
+        required = sorted({t for ph, _ in phrases for t in ph} | set(bare))
         positive = sorted(set(required) | {t for g in groups for t in g})
         if not positive:
             return []
         post = self.fetch_postings(positive)
 
-        def phrase_ids(ph, cand=None):
-            """doc_ids matching phrase ``ph`` exactly (within ``cand``)."""
+        def phrase_ids(ph, slop=0, cand=None):
+            """doc_ids matching phrase ``ph`` within ``slop`` (in ``cand``)."""
+            gap = slop + 1
             if any(t not in post for t in ph):
                 return np.empty(0, dtype=np.int64)
             members = sorted((post[t] for t in set(ph)), key=lambda p: p.df)
@@ -530,8 +541,11 @@ class Index:
             maps = [post[t].positions_for(ids) for t in ph]
             keep = np.zeros(len(ids), dtype=bool)
             for i, did in enumerate(ids):
-                inter = maps[0].get(int(did))
-                if inter is None:
+                # fold over possible END positions of the matched sequence:
+                # a position q of term j extends the match iff some end e of
+                # the j-1 prefix satisfies 1 <= q - e <= gap
+                ends = maps[0].get(int(did))
+                if ends is None:
                     continue
                 ok = True
                 for j in range(1, len(ph)):
@@ -539,8 +553,10 @@ class Index:
                     if nxt is None:
                         ok = False
                         break
-                    inter = inter[np.isin(inter + j, nxt)]
-                    if len(inter) == 0:
+                    lo = np.searchsorted(ends, nxt - gap, side="left")
+                    hi = np.searchsorted(ends, nxt - 1, side="right")
+                    ends = nxt[hi > lo]
+                    if len(ends) == 0:
                         ok = False
                         break
                 keep[i] = ok
@@ -572,13 +588,13 @@ class Index:
                     return []
                 gi = group_ids(g)
                 ids = ids[np.isin(ids, gi)]
-            for ph in phrases:
-                ids = phrase_ids(ph, cand=ids)
+            for ph, slop in phrases:
+                ids = phrase_ids(ph, slop=slop, cand=ids)
                 if len(ids) == 0:
                     return []
         else:  # "or" / "wand": union of matching clauses
             cand_sets = [post[t].doc_ids for t in bare if t in post]
-            cand_sets += [phrase_ids(ph) for ph in phrases]
+            cand_sets += [phrase_ids(ph, slop=slop) for ph, slop in phrases]
             cand_sets += [group_ids(g) for g in groups]
             cand_sets = [c for c in cand_sets if len(c)]
             if not cand_sets:
@@ -595,30 +611,47 @@ class Index:
         for t in positive:  # sorted term order — fixed summation order
             if t in post:
                 p = post[t]
-                scores += p.idf * (self.cfg.k1 + 1.0) * _contrib_at(p, ids)
+                scores += (
+                    boosts.get(t, 1.0)
+                    * p.idf * (self.cfg.k1 + 1.0) * _contrib_at(p, ids)
+                )
         return _topk(ids, scores, k)
 
 
 def parse_query(q: str, cfg: BM25Config):
-    """Minimal query language: quoted phrases, ``-term`` exclusions,
-    trailing-``*`` prefix wildcards, bare terms.  All text goes through the
-    index analyzer (A13); a prefix wildcard keeps only the analyzed stem."""
+    """Minimal query language: quoted phrases with optional proximity slop
+    (``"a b"~2`` — A30), ``-term`` exclusions, trailing-``*`` prefix
+    wildcards, ``term^2.5`` boosts (A29) and bare terms.  All text goes
+    through the index analyzer (A13); a prefix wildcard keeps only the
+    analyzed stem.
+
+    Returns ``(bare, phrases, excluded, prefixes, boosts)`` where each
+    phrase is ``(tokens, slop)`` — slop 0 is exact adjacency — and boosts
+    maps an analyzed bare term to its multiplicative weight (last spelling
+    wins if a term is boosted twice)."""
     import re as _re
 
-    phrases: list[list[str]] = []
+    phrases: list[tuple[list[str], int]] = []
 
     def grab(m):
         toks = tokenize_text(m.group(1), cfg)
         if toks:
-            phrases.append(toks)
+            phrases.append((toks, int(m.group(2) or 0)))
         return " "
 
-    rest = _re.sub(r'"([^"]*)"', grab, q)
+    rest = _re.sub(r'"([^"]*)"(?:~(\d+))?', grab, q)
     bare: list[str] = []
     excluded: list[str] = []
     prefixes: list[str] = []
+    boosts: dict[str, float] = {}
     for w in rest.split():
-        if w.startswith("-") and len(w) > 1:
+        bm = _re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", w)
+        if bm:
+            toks = tokenize_text(bm.group(1), cfg)
+            bare.extend(toks)
+            for t in toks:
+                boosts[t] = float(bm.group(2))
+        elif w.startswith("-") and len(w) > 1:
             excluded.extend(tokenize_text(w[1:], cfg))
         elif w.endswith("*") and len(w) > 1:
             stem = tokenize_text(w[:-1], cfg)
@@ -626,7 +659,10 @@ def parse_query(q: str, cfg: BM25Config):
                 prefixes.append(stem[-1])
         else:
             bare.extend(tokenize_text(w, cfg))
-    return sorted(set(bare)), phrases, sorted(set(excluded)), sorted(set(prefixes))
+    return (
+        sorted(set(bare)), phrases, sorted(set(excluded)),
+        sorted(set(prefixes)), boosts,
+    )
 
 
 def _score_at(plists, ids: np.ndarray, cfg: BM25Config) -> np.ndarray:

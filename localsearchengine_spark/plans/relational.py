@@ -508,7 +508,7 @@ _BM25_TERMS = ["join", "spark"]  # sorted
 def _bm25_sql(
     terms: list[str], k: int, mode: str, qid: int | None = None,
     excl: str | None = None, where: str | None = None,
-    doc_pred: str | None = None,
+    doc_pred: str | None = None, boosts: dict[str, float] | None = None,
 ) -> str:
     """Independent DuckDB BM25 oracle.  With ``qid`` set, emits
     (query_id, rank, doc_id, score) — rank over the same unrounded
@@ -521,11 +521,19 @@ def _bm25_sql(
     filtered corpus.
     ``doc_pred`` restricts RESULTS to docs matching a documents-table
     predicate AFTER scoring (fts13 filtered search: a metadata filter never
-    changes stats or surviving docs' scores — unlike ``where``)."""
+    changes stats or surviving docs' scores — unlike ``where``).
+    ``boosts`` multiplies a term's contribution by its weight (A29
+    semantics: boosts scale scores, never match sets or idf)."""
     cfg = BM25Config()
     docs_rel = (
         f"(SELECT * FROM documents WHERE {where})" if where else "documents"
     )
+    weight = "1.0"
+    if boosts:
+        cases = " ".join(
+            f"WHEN '{t}' THEN {float(b)!r}" for t, b in sorted(boosts.items())
+        )
+        weight = f"(CASE tf.term {cases} ELSE 1.0 END)"
     tlist = ", ".join(f"'{t}'" for t in terms)
     idf = cfg.idf_sql("df.df", "stats.n")
     and_filter = f"WHERE nt = {len(terms)}" if mode == "and" else ""
@@ -558,7 +566,7 @@ tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
 scores AS (
   SELECT tf.doc_id,
-         sum({idf} * ({cfg.k1} + 1.0) * tf.tf
+         sum({weight} * {idf} * ({cfg.k1} + 1.0) * tf.tf
              / (tf.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dl.dl / stats.avgdl))) AS s,
          CAST(count(*) AS BIGINT) AS nt
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
@@ -662,13 +670,36 @@ def fts03(spark, sf_dir):
 _FTS4_PHRASE = ["spark", "join"]
 
 
-def _phrase_sql(phrase: list[str], k: int, qid: int | None = None) -> str:
+def _phrase_sql(
+    phrase: list[str], k: int, qid: int | None = None, slop: int = 0
+) -> str:
+    """With ``slop`` > 0, the candidate test becomes the A30 proximity
+    semantics — strictly increasing matched positions with every gap in
+    [1, slop+1] — expressed as nested list_filter EXISTS closures (each
+    inner range spans the allowed gap from the previous matched position).
+    slop=0 keeps the flat fixed-offset adjacency form."""
     cfg = BM25Config()
     idf = cfg.idf_sql("df.df", "stats.n")
     tlist = ", ".join(f"'{t}'" for t in sorted(set(phrase)))
-    adj = " AND ".join(
-        f"tk[i+{j}] = '{t}'" for j, t in enumerate(phrase)
-    )
+    if slop == 0:
+        adj = " AND ".join(
+            f"tk[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+        )
+        cand_range = f"range(1, len(tk) - {len(phrase) - 2})"
+    else:
+        gap = slop + 1
+        adj = None
+        for j in range(len(phrase) - 1, 0, -1):
+            prev = "i" if j == 1 else f"v{j - 1}"
+            inner = f"tk[v{j}] = '{phrase[j]}'"
+            if adj is not None:
+                inner += f" AND {adj}"
+            adj = (
+                f"len(list_filter(range({prev}+1, {prev}+{gap + 1}), "
+                f"v{j} -> v{j} <= len(tk) AND {inner})) > 0"
+            )
+        adj = f"tk[i] = '{phrase[0]}' AND {adj}"
+        cand_range = "range(1, len(tk)+1)"
     select = "doc_id, round(s, 6) AS score"
     if qid is not None:
         select = (
@@ -683,7 +714,7 @@ WITH toklist AS (
 ),
 cand AS (
   SELECT doc_id FROM toklist
-  WHERE len(list_filter(range(1, len(tk) - {len(phrase) - 2}), i -> {adj})) > 0
+  WHERE len(list_filter({cand_range}, i -> {adj})) > 0
 ),
 toks AS (SELECT doc_id, unnest(tk) AS term FROM toklist),
 dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
@@ -723,6 +754,48 @@ def fts11(spark, sf_dir):
     index = Index(spark, ensure_documents_index(spark, sf_dir))
     hits = index.search(
         " ".join(_FTS11_TERMS) + " -" + _FTS11_EXCL, k=10, mode="and"
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# A29 query-term boosts through the query language ("merge^2.5 scan"):
+# conjunctive match semantics unchanged, the boosted term's contribution
+# multiplied by its weight — gated against the same SQL BM25 with the
+# CASE-weighted contribution.  Ranks genuinely differ from fts01-style
+# unboosted AND, so the gate is load-bearing.
+_FTS21_TERMS = ["merge", "scan"]  # sorted
+_FTS21_BOOSTS = {"merge": 2.5}
+
+
+@q("fts21_engine_boost", _bm25_sql(_FTS21_TERMS, 10, "and", boosts=_FTS21_BOOSTS))
+def fts21(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    hits = index.search("merge^2.5 scan", k=10, mode="and")
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# A30 proximity phrase ('"spark join"~1'): gap-bounded ordered positional
+# match — wider than fts04's exact adjacency (56 vs 37 matching docs at
+# sf0.01), so the slop path is observably different from the exact path.
+_FTS22_PHRASE = ["spark", "join"]
+_FTS22_SLOP = 1
+
+
+@q("fts22_engine_proximity", _phrase_sql(_FTS22_PHRASE, 10, slop=_FTS22_SLOP))
+def fts22(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir, positions=True))
+    hits = index.search(
+        f'"{" ".join(_FTS22_PHRASE)}"~{_FTS22_SLOP}', k=10, mode="or"
     )
     return spark.createDataFrame(
         [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"

@@ -15,13 +15,24 @@ from localsearchengine_spark.sources.fixtures import write_transcripts_parquet
 
 def test_parse_query():
     cfg = BM25Config()
-    bare, phrases, excluded, prefixes = parse_query(
+    bare, phrases, excluded, prefixes, boosts = parse_query(
         '"Spark SQL engine" fast -slow "b c" eng*', cfg
     )
     assert bare == ["fast"]
-    assert phrases == [["spark", "sql", "engine"], ["b", "c"]]
+    assert phrases == [(["spark", "sql", "engine"], 0), (["b", "c"], 0)]
     assert excluded == ["slow"]
     assert prefixes == ["eng"]
+    assert boosts == {}
+
+
+def test_parse_query_slop_and_boost():
+    cfg = BM25Config()
+    bare, phrases, excluded, prefixes, boosts = parse_query(
+        '"spark engine"~2 fast^2.5 slow', cfg
+    )
+    assert phrases == [(["spark", "engine"], 2)]
+    assert bare == ["fast", "slow"]
+    assert boosts == {"fast": 2.5}
 
 
 @pytest.fixture(scope="module")
@@ -83,6 +94,48 @@ def test_exclusion_only_with_bare_terms(pos_index):
 
 def test_missing_phrase_term(pos_index):
     assert pos_index.search('"spark zzznope"', k=10) == []
+
+
+def test_proximity_slop(pos_index):
+    # doc 0 "spark sql engine ...": spark..engine gap 2; doc 1 adjacent-ish
+    assert {d for d, _ in pos_index.search('"spark engine"', k=10)} == {1}
+    assert {d for d, _ in pos_index.search('"spark engine"~1', k=10)} == {0, 1}
+    # order stays mandatory under slop: doc 1 is "sql spark", never "spark sql"
+    assert 1 not in {d for d, _ in pos_index.search('"spark sql"~3', k=10)}
+
+
+def test_proximity_three_terms(pos_index):
+    # doc 0 "spark sql engine runs fast": gaps spark→sql=1, sql→fast=3
+    assert pos_index.search('"spark sql fast"~1', k=10) == []
+    assert {d for d, _ in pos_index.search('"spark sql fast"~2', k=10)} == {0}
+
+
+def test_proximity_scores_match_exact_phrase_scores(pos_index):
+    """Slop widens the match set but scoring stays BM25 over the members."""
+    sloppy = dict(pos_index.search('"spark engine"~1', k=10))
+    plain = dict(pos_index.search(["engine", "spark"], k=10, mode="and"))
+    for d, s in sloppy.items():
+        assert abs(s - plain[d]) < 1e-12
+
+
+def test_term_boost_scales_contribution(pos_index):
+    """score("spark^2 sql") = score(spark AND sql) + 1×contrib(spark)."""
+    boosted = dict(pos_index.search("spark^2 sql", k=10, mode="and"))
+    plain = dict(pos_index.search(["spark", "sql"], k=10, mode="and"))
+    spark_only = dict(pos_index.search(["spark"], k=10, mode="or"))
+    assert set(boosted) == set(plain)  # boosts weight scores, not matching
+    for d, s in boosted.items():
+        assert abs(s - (plain[d] + spark_only[d])) < 1e-12
+
+
+def test_term_boost_reorders(pos_index):
+    """A big enough boost must be able to change the ranking."""
+    plain = [d for d, _ in pos_index.search(["fast", "slow"], k=10, mode="or")]
+    boosted = [d for d, _ in pos_index.search("fast slow^9", k=10, mode="or")]
+    assert set(plain) == set(boosted)
+    # docs 0 (fast) and 1 (slow) tie un-boosted (same df, same dl) and fall
+    # back to doc_id order; boosting "slow" must put doc 1 ahead of doc 0
+    assert plain.index(0) < plain.index(1) and boosted.index(1) < boosted.index(0)
 
 
 def test_phrase_scores_are_bm25_over_members(pos_index):
