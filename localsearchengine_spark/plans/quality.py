@@ -1,0 +1,246 @@
+"""Corpus-quality / repetition operators for training-data curation
+(SURVEY.md §2 Part C extension, round 3): Gopher-style per-document
+repetition metrics, cross-document duplicated-span detection, and corpus
+bigram collocations.
+
+Rationale (public lineage): Rae et al. 2021 (Gopher) filter web documents
+on repetition statistics (duplicate-n-gram and top-token mass); Lee et al.
+2022 ("Deduplicating Training Data Makes Language Models Better") remove
+long spans that repeat across documents; collocation mining (PMI,
+Church & Hanks 1990) is the standard first pass over a new corpus's token
+statistics.  All three run over the driver's ``documents`` table with the
+same plain space-split tokens as the rest of plans/training_data.py so the
+DuckDB oracles stay in ANSI SQL.
+
+Scale notes are per operator; the shared shape is: per-doc array math stays
+inside whole-stage codegen (zero shuffle), and anything corpus-wide is ONE
+hash aggregate on a key whose cardinality is bounded (vocabulary, n-grams)
+with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from localsearchengine_spark.plans.relational import _t, q
+
+_SPAN_W = 8  # duplicated-span width (tokens)
+
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+def _grams_col(w: int):
+    """All (positional, non-distinct) word ``w``-grams of the space-split
+    token stream — pure Catalyst, no Python."""
+    toks = _toks()
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# TX08 — Gopher-style per-document repetition metrics:
+#   * top_tok / top_tok_frac — the most frequent token (count desc, token
+#     asc tie-break) and its share of the doc's tokens;
+#   * dup_2gram_frac — fraction of 2-gram OCCURRENCES that are repeats of
+#     an earlier identical 2-gram in the same doc.
+# Shape for 100 TB: the 2-gram stats are per-row array expressions
+# (size/array_distinct) — zero shuffle; the top-token stat is ONE
+# explode → (doc_id, tok) hash aggregate with map-side combine, then a
+# doc_id-partitioned window over ≤ vocabulary-per-doc rows.  (A per-doc
+# higher-order-function argmax would avoid the shuffle but is O(tokens²)
+# per doc — wrong trade at long documents.)
+# ---------------------------------------------------------------------------
+@q(
+    "tx08_repetition_metrics",
+    """WITH tc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    top AS (
+      SELECT doc_id, tok AS top_tok, cnt AS top_cnt
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cnt DESC, tok) AS rn FROM tc)
+      WHERE rn = 1),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 2
+                  THEN list_transform(range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+                  ELSE [] END AS grams,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT g.doc_id, g.n_tokens, top.top_tok,
+           round(top.top_cnt::DOUBLE / g.n_tokens, 6) AS top_tok_frac,
+           CASE WHEN len(g.grams) > 0
+                THEN round((len(g.grams) - len(list_distinct(g.grams)))::DOUBLE
+                           / len(g.grams), 6)
+                ELSE 0.0 END AS dup_2gram_frac
+    FROM g JOIN top USING (doc_id)""",
+)
+def tx08(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_tok"), F.col("cnt").alias("top_cnt"))
+    )
+    grams = _grams_col(2)
+    per_doc = docs.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        F.size(grams).alias("n2"),
+        F.size(F.array_distinct(grams)).alias("d2"),
+    )
+    return (
+        per_doc.join(top, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "top_tok",
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias("top_tok_frac"),
+            F.when(
+                F.col("n2") > 0,
+                F.round((F.col("n2") - F.col("d2")) / F.col("n2"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DD10 — cross-document duplicated spans (Lee et al. 2022 shape): a span is
+# a word 8-gram; it is "duplicated" when the identical 8-gram occurs in ≥2
+# distinct documents.  Per doc: span count, duplicated-span count, fraction.
+# Shape for 100 TB: ONE groupBy(gram) with map-side-combined
+# countDistinct-style aggregation (here count of distinct doc_ids via
+# two-level groupBy), then a semi-join back.  The duplicated-gram set is a
+# small fraction of all grams by construction (random text collides never;
+# only true near-dups produce hits), so the back-join's build side stays
+# bounded; at extreme scale, group on a 64-bit gram hash instead of the
+# string to cut shuffle bytes (collision risk then needs a verify pass —
+# kept exact here).  Docs with fewer than 8 tokens have no spans and are
+# excluded (fraction undefined).
+# ---------------------------------------------------------------------------
+@q(
+    "dd10_repeated_spans",
+    f"""WITH g AS (
+      SELECT doc_id, unnest(
+        list_transform(range(1, len(string_split(text, ' ')) - {_SPAN_W - 2}),
+          i -> array_to_string(string_split(text, ' ')[i:i+{_SPAN_W - 1}], ' '))
+      ) AS gram
+      FROM documents WHERE len(string_split(text, ' ')) >= {_SPAN_W}),
+    dup AS (
+      SELECT gram FROM (SELECT gram, doc_id FROM g GROUP BY gram, doc_id)
+      GROUP BY gram HAVING count(*) >= 2)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(CASE WHEN dup.gram IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_dup_spans,
+           round(count(CASE WHEN dup.gram IS NOT NULL THEN 1 END)::DOUBLE
+                 / count(*), 6) AS dup_span_frac
+    FROM g LEFT JOIN dup ON g.gram = dup.gram
+    GROUP BY g.doc_id""",
+)
+def dd10(spark, sf_dir):
+    g = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_grams_col(_SPAN_W)).alias("gram"))
+    )
+    dup = (
+        g.select("gram", "doc_id").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    flagged = g.join(dup.withColumn("is_dup", F.lit(1)), "gram", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count("is_dup").alias("n_dup_spans"),
+        F.round(F.count("is_dup") / F.count(F.lit(1)), 6).alias("dup_span_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TX10 — corpus bigram collocations: the 20 most frequent adjacent token
+# pairs (count ≥ 10), with their PMI = ln(p(x,y) / (p(x)·p(y))) where
+# p(x,y) = c_xy/T₂ over bigram occurrences and p(x) = c_x/T over token
+# occurrences.  Ordering is by the INTEGER count (desc, then pair asc) so
+# no float comparison decides a rank; PMI is a rounded value column.
+# Shape for 100 TB: bigram counts are one hash aggregate (map-side
+# combined); the unigram side is vocabulary-sized, so both joins broadcast.
+# ---------------------------------------------------------------------------
+_COLL_MIN, _COLL_K = 10, 20
+
+
+@q(
+    "tx10_collocations_pmi",
+    f"""WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    bi AS (
+      SELECT gram[1] AS w1, gram[2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM (SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+                   THEN list_transform(range(1, len(string_split(text, ' '))),
+                        i -> [string_split(text, ' ')[i], string_split(text, ' ')[i+1]])
+                   ELSE [] END) AS gram
+            FROM documents)
+      GROUP BY 1, 2),
+    t2 AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n2 FROM bi)
+    SELECT w1, w2, c_xy,
+           round(ln((bi.c_xy / t2.n2) / ((u1.c / t.n) * (u2.c / t.n))), 6) AS pmi
+    FROM bi JOIN uni u1 ON bi.w1 = u1.tok
+            JOIN uni u2 ON bi.w2 = u2.tok
+            CROSS JOIN t CROSS JOIN t2
+    WHERE c_xy >= {_COLL_MIN}
+    ORDER BY c_xy DESC, w1, w2 LIMIT {_COLL_K}""",
+)
+def tx10(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_toks()).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    t = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    bi = (
+        docs.select(F.explode(_grams_col(2)).alias("gram"))
+        .select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    t2 = bi.agg(F.sum("c_xy").cast("double").alias("n2"))
+    return (
+        bi.filter(F.col("c_xy") >= _COLL_MIN)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")
+                          .withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
+                          .withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "w1", "w2", "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n2"))
+                    / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("c_xy"), "w1", "w2")
+        .limit(_COLL_K)
+    )

@@ -1541,8 +1541,157 @@ def b23(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B21 — sessionization (gaps-and-islands): a new session starts when a
+# user's inter-event gap exceeds 6 hours.  ONE shuffle on user_id (both
+# windows and the final groupBy share the partitioning); gap arithmetic in
+# integer epoch microseconds so both engines compare identically.
+# (user_id, ts) is unique in the fixture, so (ts, event_id) ordering is
+# deterministic.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+@q(
+    "b24_sessionize",
+    f"""WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {_SESSION_GAP_US} THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+      FROM e)
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id""",
+)
+def b24(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", "ts",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, 1
+            ).when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+            ).cast("long"),
+        )
+    )
+    return e.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B22 — pivot: event_type × 4-hour-of-day bucket counts.  Spark's pivot
+# with an EXPLICIT value list (no extra distinct-values job at scale);
+# oracle is the equivalent conditional aggregation.
+# ---------------------------------------------------------------------------
+@q(
+    "b25_pivot",
+    """SELECT event_type,
+              {cols}
+       FROM events GROUP BY event_type""".format(
+        cols=", ".join(
+            f"CAST(count(CASE WHEN hour(ts) // 4 = {b} THEN 1 END) AS BIGINT) AS h{b}"
+            for b in range(6)
+        )
+    ),
+)
+def b25(spark, sf_dir):
+    piv = (
+        _t(spark, sf_dir, "events")
+        .withColumn("hb", (F.hour("ts") / 4).cast("int"))
+        .groupBy("event_type")
+        .pivot("hb", list(range(6)))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "event_type",
+        *[F.coalesce(F.col(str(b)), F.lit(0)).cast("long").alias(f"h{b}")
+          for b in range(6)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# B23 — time-range join, banded for scale: for each click, the number of
+# views by the same user in the preceding hour.  The naive formulation is a
+# join on user_id with an inequality — at 100 TB the per-user fan-out is
+# quadratic in events-per-user.  The banded plan quantizes time into
+# window-sized buckets: each click probes exactly 2 buckets (its own and
+# the previous), making the join an EQUI join on (user_id, bucket) — 2×
+# fan-out, sort-merge/AQE-eligible, never quadratic.  The oracle is the
+# naive inequality join (exact same semantics).
+# ---------------------------------------------------------------------------
+_RANGE_WIN_US = 3600 * 1_000_000
+
+
+@q(
+    "b26_range_join_banded",
+    f"""SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+               CAST(count(v.ts) AS BIGINT) AS n_prior_views
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+         AND epoch_us(v.ts) >= epoch_us(c.ts) - {_RANGE_WIN_US}
+         AND epoch_us(v.ts) < epoch_us(c.ts)
+        GROUP BY c.event_id, c.user_id, c.ts""",
+)
+def b26(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts_us",
+                F.floor(F.col("ts_us") / _RANGE_WIN_US).alias("bkt"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts_us").alias("vts_us"),
+                F.floor(F.col("ts_us") / _RANGE_WIN_US).alias("vbkt"))
+    )
+    probes = clicks.withColumn(
+        "vbkt", F.explode(F.array(F.col("bkt") - 1, F.col("bkt")))
+    )
+    hits = (
+        probes.join(views, ["user_id", "vbkt"])
+        .filter(
+            (F.col("vts_us") >= F.col("ts_us") - _RANGE_WIN_US)
+            & (F.col("vts_us") < F.col("ts_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    return (
+        clicks.join(hits, "event_id", "left")
+        .select(
+            "event_id", "user_id", "ts_us",
+            F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("n_prior_views"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02) likewise.
 # ---------------------------------------------------------------------------
-from localsearchengine_spark.plans import streaming_rows, training_data  # noqa: E402,F401
+from localsearchengine_spark.plans import quality, streaming_rows, training_data  # noqa: E402,F401
