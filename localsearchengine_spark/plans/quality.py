@@ -174,6 +174,63 @@ def dd10(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TX11 — per-document TF-IDF keyword extraction: the top-5 terms of each
+# doc.  RANK is decided by the integer-exact triple (tf desc, df asc, token
+# asc) — a float tf·idf comparison must never decide a rank across engines —
+# and the tf·idf itself (tf · ln(N/df)) rides along as a rounded value
+# column.  Shape for 100 TB: tf is one explode → (doc, tok) hash aggregate
+# (map-side combined); df is one aggregate over the same rows; the tf⋈df
+# join is an equi join on the token (AQE picks broadcast while the
+# vocabulary fits, sort-merge beyond); the ranking window partitions by
+# doc_id — per-group size is the doc's vocabulary, never corpus-sized.
+# ---------------------------------------------------------------------------
+_KW_K = 5
+
+
+@q(
+    "tx11_tfidf_keywords",
+    f"""WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, tf, df,
+           round(tf * ln(n_docs / df), 6) AS tfidf
+    FROM (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rn
+          FROM tf JOIN df USING (tok))
+    CROSS JOIN n WHERE rn <= {_KW_K}""",
+)
+def tx11(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        tf.join(df, "tok")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KW_K)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "rank", "tok", "tf", "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TX10 — corpus bigram collocations: the 20 most frequent adjacent token
 # pairs (count ≥ 10), with their PMI = ln(p(x,y) / (p(x)·p(y))) where
 # p(x,y) = c_xy/T₂ over bigram occurrences and p(x) = c_x/T over token
