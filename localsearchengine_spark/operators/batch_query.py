@@ -512,7 +512,7 @@ def _run_queries_or_pruned(
         .filter(F.col("rn") == F.col("k"))
         .select("query_id", F.col("score").alias("kth_partial"))
     )
-    surv_rows = (
+    surv = (
         part.join(F.broadcast(kth), "query_id", "left")
         .withColumn(
             "floor",
@@ -522,10 +522,18 @@ def _run_queries_or_pruned(
         )
         .filter(F.col("partial") + F.col("rem_slack") >= F.col("floor") - F.lit(_EPS))
         .select("query_id", "doc_id")
-        .collect()
     )
-    if len(surv_rows) > _SURVIVOR_CAP:
-        return None
+    # Gate the cap executor-side BEFORE any driver materialization: a
+    # pathological batch must never ship an unbounded survivor set to the
+    # driver.  limit(cap+1) short-circuits the count; persist so the
+    # subsequent bounded collect reuses the computed partitions.
+    surv = surv.persist()
+    try:
+        if surv.limit(_SURVIVOR_CAP + 1).count() > _SURVIVOR_CAP:
+            return None
+        surv_rows = surv.collect()
+    finally:
+        surv.unpersist()
 
     surv_by_q: dict[int, list[int]] = {}
     for r in surv_rows:

@@ -208,3 +208,35 @@ def test_batch_exclusions_match_driver_local(spark, built_index):
     ]
     local = index.search("merge small -window -slow", k=10, mode="and")
     assert got == [(d, s) for d, s in local]
+
+def test_overcap_survivors_fall_back_without_driver_collect(
+    spark, built_index, monkeypatch
+):
+    """The survivor cap must be enforced executor-side (limit+count) BEFORE
+    any driver materialization: with the cap forced to 0, the pruned path
+    must return the generic-path result (fallback) and the 2-column survivor
+    frame must never be collect()ed."""
+    from pyspark.sql import DataFrame
+
+    import localsearchengine_spark.operators.batch_query as bq
+
+    idx_dir, _, _ = built_index
+    index = Index(spark, idx_dir)
+    queries = [q for q in golden_queries() if len(q["terms"]) >= 2][:3]
+
+    monkeypatch.setattr(bq, "_SURVIVOR_CAP", 0)
+    collected_cols: list[tuple] = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        collected_cols.append(tuple(self.columns))
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = orig_collect(run_queries(spark, index, queries, mode="or", prune=True))
+    assert ("query_id", "doc_id") not in collected_cols, (
+        "over-cap survivor set was materialized on the driver"
+    )
+    monkeypatch.setattr(DataFrame, "collect", orig_collect)
+    base = orig_collect(run_queries(spark, index, queries, mode="or", prune=False))
+    assert sorted(map(tuple, out)) == sorted(map(tuple, base))
