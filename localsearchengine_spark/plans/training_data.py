@@ -1257,9 +1257,17 @@ QUALIFY rank <= {_ANN_K}
 
 
 def _ivf_parts(spark, sf_dir):
-    """(emb, assign, dists) shared by sim03 and its tests."""
-    from pyspark.sql import Window
+    """(emb, assign, dists) shared by sim03 and its tests.
 
+    Cell assignment is SHUFFLE-FREE: the K=16 sampled centroids (a bounded
+    driver collect — the same rows the oracle SQL derives) are inlined as an
+    array-of-struct literal and each vector computes its argmin cell with a
+    per-row higher-order ``array_min`` over the encoded ``dist*K + cid`` key
+    — no 16x crossJoin fan-out and no groupBy(vec_id) exchange over the
+    corpus (at 10^11 embeddings that exchange dominates).  ``dists`` (every
+    centroid distance, needed for probe ranking) is built only for the 8
+    query vectors.
+    """
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -1272,28 +1280,41 @@ def _ivf_parts(spark, sf_dir):
         .cast("long")
         .alias("md5key")
     )
-    wc = Window.orderBy("md5key", "vec_id")
-    cent = (
+    cent_rows = (
         emb.select("vec_id", "qv", md5key)
         .orderBy("md5key", "vec_id")
         .limit(_IVF_K)
-        .select(
-            F.row_number().over(wc).cast("long").alias("cid"),
-            F.col("qv").alias("cv"),
+        .select("qv")
+        .collect()
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(int(x)).cast("long") for x in r["qv"]]).alias("cv"),
+            )
+            for cid, r in enumerate(cent_rows, start=1)
+        ]
+    )
+
+    def _sqdist(cv):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
+
+    # dist ≤ dim·(2·1000)^2 ≈ 2.6e8 at dim=64, so dist·K+cid fits a long
+    enc_min = F.array_min(
+        F.transform(cent_lit, lambda c: _sqdist(c["cv"]) * _IVF_K + c["cid"] - 1)
     )
-    idist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    assign = emb.select(
+        "vec_id", ((enc_min % _IVF_K) + 1).cast("long").alias("cell")
     )
-    dists = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", idist.alias("dist")
-    )
-    assign = dists.groupBy("vec_id").agg(
-        ((F.min(F.col("dist") * _IVF_K + F.col("cid") - 1) % _IVF_K) + 1)
-        .cast("long")
-        .alias("cell")
+    dists = (
+        emb.filter(F.col("vec_id").isin(_ANN_QUERY_IDS))
+        .select("vec_id", F.explode(cent_lit).alias("c"), "qv")
+        .select("vec_id", F.col("c.cid").alias("cid"), _sqdist(F.col("c.cv")).alias("dist"))
     )
     return emb, assign, dists
 

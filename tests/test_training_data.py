@@ -294,6 +294,10 @@ def test_sim03_cells_partition_and_recall(spark):
     from localsearchengine_spark.plans import training_data as td
 
     emb, assign, _ = td._ivf_parts(spark, SF_DIR)
+    # cell assignment must stay shuffle-free: per-row argmin over the
+    # centroid literal, no crossJoin fan-out, no groupBy(vec_id) exchange
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
     cells = assign.collect()
     assert len(cells) == emb.count()  # one cell per vector
     sizes = {}
