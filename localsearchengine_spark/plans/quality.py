@@ -123,15 +123,19 @@ def tx08(spark, sf_dir):
 # DD10 — cross-document duplicated spans (Lee et al. 2022 shape): a span is
 # a word 8-gram; it is "duplicated" when the identical 8-gram occurs in ≥2
 # distinct documents.  Per doc: span count, duplicated-span count, fraction.
-# Shape for 100 TB: ONE groupBy(gram) with map-side-combined
-# countDistinct-style aggregation (here count of distinct doc_ids via
-# two-level groupBy), then a semi-join back.  The duplicated-gram set is a
+# Shape for 100 TB (hash_grams=True, the default): the corpus-wide
+# distinct/groupBy stages shuffle 64-bit xxhash64 gram keys — not the ~50+
+# byte gram strings — and a string-equality VERIFY pass over only the
+# flagged-hash subset keeps the result exact (a hash collision can only ADD
+# a candidate; the verify re-counts distinct docs per gram STRING, so
+# collisions are filtered, never merged).  The duplicated-gram set is a
 # small fraction of all grams by construction (random text collides never;
-# only true near-dups produce hits), so the back-join's build side stays
-# bounded; at extreme scale, group on a 64-bit gram hash instead of the
-# string to cut shuffle bytes (collision risk then needs a verify pass —
-# kept exact here).  Docs with fewer than 8 tokens have no spans and are
-# excluded (fraction undefined).
+# only true near-dups produce hits), so the verify input and the final
+# semi-join build side stay bounded (AQE broadcasts them when small).
+# n_spans is a per-row array size — the full gram stream is never shuffled
+# by doc_id.  hash_grams=False keeps the plain string-key path for A/B.
+# Docs with fewer than 8 tokens have no spans and are excluded (fraction
+# undefined).
 # ---------------------------------------------------------------------------
 @q(
     "dd10_repeated_spans",
@@ -153,23 +157,49 @@ def tx08(spark, sf_dir):
     FROM g LEFT JOIN dup ON g.gram = dup.gram
     GROUP BY g.doc_id""",
 )
-def dd10(spark, sf_dir):
-    g = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(_grams_col(_SPAN_W)).alias("gram"))
+def dd10(spark, sf_dir, hash_grams: bool = True):
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.explode(_grams_col(_SPAN_W)).alias("gram"))
+    if hash_grams:
+        gh = g.withColumn("gh", F.xxhash64("gram"))
+        cand = (
+            gh.select("gh", "doc_id").distinct()
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("gh")
+        )
+        # verify: exact distinct-doc recount per gram STRING, flagged set only
+        dup = (
+            gh.join(cand, "gh", "left_semi")
+            .select("gram", "doc_id").distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("gram")
+        )
+    else:
+        dup = (
+            g.select("gram", "doc_id").distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("gram")
+        )
+    base = docs.select(
+        "doc_id", F.size(_grams_col(_SPAN_W)).cast("long").alias("n_spans")
+    ).filter(F.col("n_spans") > 0)
+    ndup = (
+        g.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
     )
-    dup = (
-        g.select("gram", "doc_id").distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    flagged = g.join(dup.withColumn("is_dup", F.lit(1)), "gram", "left")
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.count("is_dup").alias("n_dup_spans"),
-        F.round(F.count("is_dup") / F.count(F.lit(1)), 6).alias("dup_span_frac"),
+    return base.join(ndup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.round(F.coalesce(F.col("nd"), F.lit(0)) / F.col("n_spans"), 6)
+        .alias("dup_span_frac"),
     )
 
 
@@ -270,12 +300,22 @@ def tx10(spark, sf_dir):
     toks = docs.select(F.explode(_toks()).alias("tok"))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     t = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # bigrams as struct<w1,w2> directly — no concat-then-resplit round-trip
+    toks_arr = _toks()
+    n = F.size(toks_arr)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks_arr, i).alias("w1"),
+                F.element_at(toks_arr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bi = (
-        docs.select(F.explode(_grams_col(2)).alias("gram"))
-        .select(
-            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
-            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
-        )
+        docs.select(F.explode(pairs).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
     )

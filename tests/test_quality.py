@@ -79,3 +79,32 @@ def test_tx10_pmi_hand_computed(spark, tmp_path):
     ]
     pmi_ab = math.log((12 / 23) / ((12 / 24) * (12 / 24)))
     assert out[0]["pmi"] == pytest.approx(round(pmi_ab, 6), abs=1e-9)
+
+
+def test_dd10_hash_path_identical_to_string_path(spark):
+    """The 64-bit gram-hash + string-verify path must be value-identical to
+    the plain string-key path on the full sf0.01 corpus (the verify recount
+    makes hash collisions additive-only, then filtered)."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    hashed = {r["doc_id"]: tuple(r) for r in ql.dd10(spark, sf, hash_grams=True).collect()}
+    plain = {r["doc_id"]: tuple(r) for r in ql.dd10(spark, sf, hash_grams=False).collect()}
+    assert hashed == plain
+
+
+def test_dd10_verify_filters_hash_collisions(spark, tmp_path, monkeypatch):
+    """Force a universal hash collision (constant hash) — stage 1 then flags
+    every gram, but the string-verify recount keeps only true cross-doc
+    duplicates, so the output is unchanged."""
+    from pyspark.sql import functions as F
+
+    run = " ".join(f"w{i}" for i in range(ql._SPAN_W))
+    sf = _write_docs(
+        tmp_path,
+        [run, "lead in tokens " + run, " ".join(f"u{i}" for i in range(10))],
+    )
+    expected = {r["doc_id"]: tuple(r) for r in ql.dd10(spark, sf, hash_grams=False).collect()}
+    monkeypatch.setattr(F, "xxhash64", lambda *cols: F.lit(7).cast("long"))
+    got = {r["doc_id"]: tuple(r) for r in ql.dd10(spark, sf, hash_grams=True).collect()}
+    assert got == expected
