@@ -267,10 +267,19 @@ class Index:
 
         if not prefix:
             raise ValueError("empty prefix")
-        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        # Successor string for the half-open upper bound: drop trailing
+        # U+10FFFF code points before incrementing (chr(0x10FFFF+1) raises);
+        # an all-max prefix leaves the range unbounded above.  Code-point
+        # order coincides with pyarrow's binary UTF-8 string order, so the
+        # bound is correct beyond the analyzer's [0-9a-z_] alphabet too.
+        stem = prefix
+        while stem and ord(stem[-1]) == 0x10FFFF:
+            stem = stem[:-1]
+        filt = ds.field("term") >= prefix
+        if stem:
+            filt = filt & (ds.field("term") < stem[:-1] + chr(ord(stem[-1]) + 1))
         tbl = self._dataset("dictionary").to_table(
-            columns=["term", "df"],
-            filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
+            columns=["term", "df"], filter=filt
         )
         rows = sorted(tbl.to_pylist(), key=lambda r: (-int(r["df"]), r["term"]))
         return [r["term"] for r in rows[:limit]]
@@ -627,8 +636,12 @@ def parse_query(q: str, cfg: BM25Config):
 
     Returns ``(bare, phrases, excluded, prefixes, boosts)`` where each
     phrase is ``(tokens, slop)`` — slop 0 is exact adjacency — and boosts
-    maps an analyzed bare term to its multiplicative weight (last spelling
-    wins if a term is boosted twice)."""
+    maps an analyzed bare term to its multiplicative weight.  Marker
+    composition: the optional ``^w`` suffix is stripped FIRST, then the
+    leading ``-`` / trailing ``*`` markers are classified, so ``-slow^2``
+    stays an exclusion and ``stem*^2`` stays a prefix wildcard (a boost on
+    either is meaningless and is dropped).  The LAST spelling of a bare
+    term wins: ``fast^2 fast`` is unboosted, ``fast fast^2`` is boosted."""
     import re as _re
 
     phrases: list[tuple[list[str], int]] = []
@@ -645,20 +658,20 @@ def parse_query(q: str, cfg: BM25Config):
     prefixes: list[str] = []
     boosts: dict[str, float] = {}
     for w in rest.split():
-        bm = _re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", w)
-        if bm:
-            toks = tokenize_text(bm.group(1), cfg)
-            bare.extend(toks)
-            for t in toks:
-                boosts[t] = float(bm.group(2))
-        elif w.startswith("-") and len(w) > 1:
-            excluded.extend(tokenize_text(w[1:], cfg))
-        elif w.endswith("*") and len(w) > 1:
-            stem = tokenize_text(w[:-1], cfg)
+        bm = _re.fullmatch(r"(.+?)\^(\d+(?:\.\d+)?)", w)
+        core, weight = (bm.group(1), float(bm.group(2))) if bm else (w, None)
+        if core.startswith("-") and len(core) > 1:
+            excluded.extend(tokenize_text(core[1:], cfg))
+        elif core.endswith("*") and len(core) > 1:
+            stem = tokenize_text(core[:-1], cfg)
             if stem:
                 prefixes.append(stem[-1])
         else:
-            bare.extend(tokenize_text(w, cfg))
+            toks = tokenize_text(core, cfg)
+            bare.extend(toks)
+            for t in toks:
+                boosts[t] = 1.0 if weight is None else weight
+    boosts = {t: wgt for t, wgt in boosts.items() if wgt != 1.0}
     return (
         sorted(set(bare)), phrases, sorted(set(excluded)),
         sorted(set(prefixes)), boosts,

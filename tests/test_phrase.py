@@ -35,6 +35,20 @@ def test_parse_query_slop_and_boost():
     assert boosts == {"fast": 2.5}
 
 
+def test_parse_query_marker_boost_composition():
+    """Boost suffixes compose with (and never invert) the other markers:
+    '-slow^2' stays an exclusion, 'eng*^2' stays a prefix wildcard, and the
+    last spelling of a bare term decides its boost."""
+    cfg = BM25Config()
+    bare, phrases, excluded, prefixes, boosts = parse_query(
+        "-slow^2 eng*^2 fast^2 fast up up^3", cfg
+    )
+    assert excluded == ["slow"]
+    assert prefixes == ["eng"]
+    assert bare == ["fast", "up"]
+    assert boosts == {"up": 3.0}  # 'fast^2 fast' resets; 'up up^3' boosts
+
+
 @pytest.fixture(scope="module")
 def pos_index(spark, tmp_path_factory):
     rows = [

@@ -73,6 +73,14 @@ def test_expand_prefix_order_and_cap(feat_index):
     assert capped == full[:2]
 
 
+def test_expand_prefix_max_codepoint(feat_index):
+    """A prefix ending in U+10FFFF has no code-point successor — the range
+    must fall back to unbounded-above instead of raising."""
+    assert feat_index.expand_prefix("\U0010ffff") == []
+    assert feat_index.expand_prefix("st\U0010ffff") == []
+    assert feat_index.expand_prefix("st\U0010ffff\U0010ffff") == []
+
+
 def test_expand_prefix_no_match(feat_index):
     assert feat_index.expand_prefix("zzz") == []
     hits = feat_index.search("zzz*", k=5, mode="wand")
