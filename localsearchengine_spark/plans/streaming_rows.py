@@ -1,13 +1,21 @@
-"""Driver rows st01/st02 — Structured Streaming analytics (SURVEY.md §2
+"""Driver rows st01/st02/st03 — Structured Streaming analytics (SURVEY.md §2
 A27/A28, streaming/analytics.py).
 
-The driver's events table is staged into a drop directory as ONE parquet
-file, so the ``availableNow`` run is exactly one micro-batch and update-mode
-emits exactly one row per key — making the streaming result directly
-comparable to the batch SQL oracle (full value-hash).  The multi-batch
-semantics the single-batch driver row cannot show — watermark late-row drop,
-cumulative state across micro-batches — are pinned deterministically in
-``tests/test_streaming_analytics.py``.
+st01/st02 stage the driver's events table into a drop directory as ONE
+parquet file, so the ``availableNow`` run is exactly one micro-batch and
+update-mode emits exactly one row per key — making the streaming result
+directly comparable to the batch SQL oracle (full value-hash).
+
+st03 puts CROSS-BATCH STATE ACCUMULATION behind the same oracle: the events
+table is staged as THREE mtime-ordered drops consumed one file per trigger
+(three micro-batches), the stateful per-key operator re-emits each key's
+running totals every batch the key receives data, and the row reduces the
+memory sink to each key's FINAL emission (max n_events — state n is
+strictly increasing, an integer-exact decision).  The final state must
+equal the batch ``groupBy(user_id)`` aggregate over all three drops.
+Watermark late-row DROP semantics remain pytest-only
+(``tests/test_streaming_analytics.py``): a dropped row is invisible to any
+batch SQL over the same input by construction.
 
 Timestamps cross the comparison as integer epoch microseconds
 (``unix_micros`` / DuckDB ``epoch_us``; session TZ pinned UTC, parquet
@@ -18,7 +26,9 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from localsearchengine_spark.plans.relational import q
@@ -37,6 +47,29 @@ def _stage_events(sf_dir: str) -> str:
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"), os.path.join(drop, "b0.parquet")
     )
+    return drop
+
+
+def _stage_events_multibatch(sf_dir: str, n_batches: int = 3) -> str:
+    """Split the events table into ``n_batches`` event_id-ordered parquet
+    files with strictly increasing mtimes (the FileStreamSource pickup-order
+    contract, same as the fts09 staging) so ``maxFilesPerTrigger=1`` yields a
+    deterministic micro-batch sequence.  event_id order is uncorrelated with
+    user_id, so most keys receive data in several batches — the state
+    actually accumulates across micro-batches."""
+    import pyarrow.parquet as pq
+
+    from localsearchengine_spark.plans.entry_helpers import _workdir
+
+    drop = _workdir("lse_evdrop3_")
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("event_id")
+    n = tbl.num_rows
+    cuts = [n * i // n_batches for i in range(n_batches + 1)]
+    now = time.time()
+    for i in range(n_batches):
+        path = os.path.join(drop, f"b{i}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (now + i, now + i))
     return drop
 
 
@@ -80,4 +113,33 @@ def st02(spark, sf_dir):
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
         "last_ts_us",
+    )
+
+
+@q(
+    "st03_stream_multibatch_state",
+    """SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value,
+              epoch_us(max(ts)) AS last_ts_us
+       FROM events GROUP BY user_id""",
+)
+def st03(spark, sf_dir):
+    sess = stateful_user_sessions(
+        stream_events(spark, _stage_events_multibatch(sf_dir), max_files_per_trigger=1)
+    )
+    tbl = run_available_now(sess, output_mode="update")
+    # one emission per (key, batch-with-data); final state = max n_events
+    # per key (n strictly increases on every emission — integer decision)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(tbl)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+            "last_ts_us",
+        )
     )

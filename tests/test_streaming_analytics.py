@@ -163,3 +163,41 @@ def test_single_file_is_single_batch_per_key(spark, tmp_path):
     tbl = run_available_now(sess, output_mode="update", timeout_s=600)
     out = spark.table(tbl).toPandas()
     assert len(out) == out["user_id"].nunique() == 2
+
+
+def test_st03_multibatch_staging_and_final_state(spark):
+    """The st03 driver row must (a) really run multiple micro-batches — the
+    update-mode memory sink holds more emissions than distinct keys — and
+    (b) reduce to final state equal to the batch aggregate over all drops."""
+    from pyspark.sql import functions as F
+
+    from localsearchengine_spark.plans import streaming_rows as sr
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    drop = sr._stage_events_multibatch(sf)
+    files = sorted(os.listdir(drop))
+    assert files == ["b0.parquet", "b1.parquet", "b2.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(drop, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+    sess = stateful_user_sessions(
+        stream_events(spark, drop, max_files_per_trigger=1)
+    )
+    tbl = run_available_now(sess, output_mode="update", timeout_s=600)
+    emissions = spark.table(tbl)
+    n_keys = emissions.select("user_id").distinct().count()
+    assert emissions.count() > n_keys  # state accumulated across batches
+
+    final = sr.st03(spark, sf)
+    batch = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
+        )
+    )
+    got = {r["user_id"]: tuple(r) for r in final.collect()}
+    exp = {r["user_id"]: tuple(r) for r in batch.collect()}
+    assert got == exp
