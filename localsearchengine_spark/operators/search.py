@@ -265,6 +265,16 @@ class Index:
         per wildcard would dominate query latency."""
         import pyarrow.dataset as ds
 
+        return [t for t, _df in self.suggest(prefix, limit=limit)]
+
+    # ---- A31: query suggestion / completion --------------------------------
+    def suggest(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
+        """Completion candidates for a query prefix: the ``limit`` highest-df
+        dictionary terms starting with it, as (term, df) in (df desc, term
+        asc) order — integer-exact ranking.  Same stats-pruned range scan as
+        the wildcard rewrite (A23)."""
+        import pyarrow.dataset as ds
+
         if not prefix:
             raise ValueError("empty prefix")
         # Successor string for the half-open upper bound: drop trailing
@@ -282,7 +292,36 @@ class Index:
             columns=["term", "df"], filter=filt
         )
         rows = sorted(tbl.to_pylist(), key=lambda r: (-int(r["df"]), r["term"]))
-        return [r["term"] for r in rows[:limit]]
+        return [(r["term"], int(r["df"])) for r in rows[:limit]]
+
+    # ---- A32: more-like-this (find similar documents) ----------------------
+    def more_like_this(self, text: str, k: int = 10, n_terms: int = 5,
+                       exclude_doc_id: int | None = None, mode: str = "wand"):
+        """Similarity search seeded by a document's TEXT: analyze it, rank
+        its distinct terms by (tf desc, corpus df asc, term asc) — the same
+        integer-exact triple as TF-IDF keyword extraction (tx11), so no
+        float comparison decides the query — take the top ``n_terms`` and
+        run a disjunctive BM25 search, dropping the seed doc itself when
+        ``exclude_doc_id`` is given.  Fetching k+1 hits before the exclusion
+        keeps the returned top-k exact."""
+        toks = tokenize_text(text, self.cfg)
+        if not toks:
+            return []
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        dic = self.lookup(sorted(tf))
+        ranked = sorted(
+            (t for t in tf if t in dic),
+            key=lambda t: (-tf[t], int(dic[t]["df"]), t),
+        )[:n_terms]
+        if not ranked:
+            return []
+        kk = k + 1 if exclude_doc_id is not None else k
+        hits = self.search(sorted(ranked), k=kk, mode=mode)
+        if exclude_doc_id is not None:
+            hits = [(d, s) for d, s in hits if d != int(exclude_doc_id)][:k]
+        return hits
 
     # ---- A15: posting fetch + decode --------------------------------------
     # Interactive queries deliberately bypass Spark job launch (SURVEY.md

@@ -1126,6 +1126,101 @@ def fts16(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FTS23 — query suggestion / completion (A31): the limit highest-df
+# dictionary terms under a prefix, (df desc, term asc) — integer-exact.
+# The engine side is the same parquet-stats-pruned dictionary range scan
+# the wildcard rewrite uses; the oracle recomputes df from the corpus.
+# ---------------------------------------------------------------------------
+_FTS23_PREFIX, _FTS23_K = "s", 10
+
+
+@q(
+    "fts23_suggest_prefix",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks WHERE term LIKE '{_FTS23_PREFIX}%'
+GROUP BY term ORDER BY df DESC, term LIMIT {_FTS23_K}""",
+)
+def fts23(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    return spark.createDataFrame(
+        [(t, int(d)) for t, d in index.suggest(_FTS23_PREFIX, limit=_FTS23_K)],
+        "term string, df long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# FTS24 — more-like-this (A32): seed doc → its top-5 terms by the
+# integer-exact (tf desc, corpus df asc, term asc) triple → disjunctive
+# BM25 top-k excluding the seed.  The oracle derives the SAME seed terms
+# from the corpus in SQL, then scores with the standard BM25 CTE chain.
+# ---------------------------------------------------------------------------
+_FTS24_SEED, _FTS24_K, _FTS24_NTERMS = 42, 10, 5
+
+
+def _mlt_sql(seed: int, k: int, n_terms: int) -> str:
+    cfg = BM25Config()
+    idf = cfg.idf_sql("df.df", "stats.n")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+seed AS (SELECT term, CAST(count(*) AS BIGINT) AS stf FROM toks
+         WHERE doc_id = {seed} GROUP BY term),
+dfall AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfa FROM toks
+          WHERE term IN (SELECT term FROM seed) GROUP BY term),
+qterms AS (SELECT term FROM (
+    SELECT seed.term,
+           row_number() OVER (ORDER BY seed.stf DESC, dfall.dfa ASC, seed.term)
+             AS rn
+    FROM seed JOIN dfall USING (term)) WHERE rn <= {n_terms}),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum({idf} * ({cfg.k1} + 1.0) * tf.tf
+             / (tf.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scores WHERE doc_id <> {seed}
+ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+@q("fts24_more_like_this", _mlt_sql(_FTS24_SEED, _FTS24_K, _FTS24_NTERMS))
+def fts24(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    seed_text = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == _FTS24_SEED)
+        .select("text")
+        .collect()[0][0]
+    )
+    hits = index.more_like_this(
+        seed_text, k=_FTS24_K, n_terms=_FTS24_NTERMS,
+        exclude_doc_id=_FTS24_SEED, mode="wand",
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # FTS17 — distributed faceted search (A25): per facet value, the count of
 # ALL docs matching the conjunctive query — full recall over the decoded
 # postings (term+pid-pruned scan → map-side-combined match test → metadata
@@ -1690,6 +1785,37 @@ def b26(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B27 — latest-record upsert (CDC merge / SCD type-1 collapse): the newest
+# event per (user_id, event_type), newest = (ts desc, event_id desc) —
+# deterministic because event_id is unique.  ONE hash aggregate via
+# max(struct(ts, event_id, value)): struct comparison is lexicographic and
+# (ts, event_id) is unique, so `value` rides along without deciding order —
+# no window (whose per-key sort funnels full partitions), no self-join,
+# map-side partial agg does the heavy lifting at 100 TB.
+# ---------------------------------------------------------------------------
+@q(
+    "b27_latest_event_upsert",
+    """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       WHERE rn = 1""",
+)
+def b27(spark, sf_dir):
+    m = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+    )
+    return m.select(
+        "user_id",
+        "event_type",
+        F.col("m.event_id").alias("event_id"),
+        F.unix_micros(F.col("m.ts").cast("timestamp")).alias("ts_us"),
+        F.col("m.value").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.
@@ -1710,6 +1836,11 @@ from localsearchengine_spark.plans import quality, streaming_rows, training_data
 _DRIVER_CHECK_PRIORITY: list[str] = [
     # round-4 additions (never checked, by construction)
     "st03_stream_multibatch_state",
+    "fts23_suggest_prefix",
+    "fts24_more_like_this",
+    "b27_latest_event_upsert",
+    "sk03_heavyhitters_exact",
+    "tx12_token_chunks",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)
     "b24_sessionize",
     "b25_pivot",

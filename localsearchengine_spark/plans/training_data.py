@@ -1760,3 +1760,100 @@ def sk02(spark, sf_dir):
         )
         .crossJoin(F.broadcast(exact))
     )
+
+
+# ---------------------------------------------------------------------------
+# SK3 — heavy hitters, EXACT via a Misra-Gries candidate pass (Misra & Gries
+# 1982; mergeable-summary form per Agarwal et al., "Mergeable Summaries",
+# PODS 2012): per partition, a bounded summary of _HH_COUNTERS counters is
+# maintained by batch-merging exact micro-batch counts and, on overflow,
+# subtracting the (C+1)-th largest count from all (the vectorized MG
+# decrement) — memory O(C) per partition regardless of vocabulary.  Any
+# token with partition count > n_p/(C+1) survives its partition's summary,
+# so by averaging the union over partitions is a SUPERSET of every token
+# with global count > N/(C+1) ⊇ {count·K > N} for K ≤ C+1.  A single exact
+# recount restricted to the (tiny, broadcast) candidate set then yields the
+# exact answer — the sketch only bounds memory, never the result.
+# Decisions are integer-exact: report tokens with cnt·K > N (no division).
+# ---------------------------------------------------------------------------
+_HH_K = 32          # report tokens with cnt * K > total token count
+_HH_COUNTERS = 256  # MG counters per partition; C+1 > K ⇒ lossless superset
+
+_SK3_SQL = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY term
+HAVING count(*) * {_HH_K} > (SELECT n FROM n)
+"""
+
+
+@q("sk03_heavyhitters_exact", _SK3_SQL)
+def sk03(spark, sf_dir):
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def mg(batches):
+        acc = None
+        for pdf in batches:
+            vc = pdf["text"].str.split(" ").explode().value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > _HH_COUNTERS:
+                sub = acc.nlargest(_HH_COUNTERS + 1).iloc[-1]
+                acc = acc[acc > sub] - sub
+        yield pd.DataFrame({"term": [] if acc is None else acc.index})
+
+    cand = docs.select("text").mapInPandas(mg, "term string").distinct()
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select("term", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TX12 — fixed-stride token chunking (the training-data window cutter that
+# feeds tokenizer/packing stages): windows of _CHUNK_LEN tokens every
+# _CHUNK_STRIDE (overlap = LEN−STRIDE), last window short.  Pure Catalyst —
+# sequence → explode → slice/md5 — zero shuffle, zero Python; embarrassingly
+# parallel at any scale.  chunk_hash keys downstream chunk-level dedup.
+# ---------------------------------------------------------------------------
+_CHUNK_LEN, _CHUNK_STRIDE = 64, 48
+
+_TX12_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_LEN}, len(toks) - s + 1) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, s, s + {_CHUNK_LEN} - 1), ' '))
+         AS chunk_hash
+FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1, {_CHUNK_STRIDE})) AS s)
+"""
+
+
+@q("tx12_token_chunks", _TX12_SQL)
+def tx12(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    rows = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE))).alias("s"),
+    )
+    return rows.select(
+        "doc_id",
+        F.floor((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("s").cast("long").alias("start_tok"),
+        F.least(F.lit(_CHUNK_LEN), F.size("toks") - F.col("s") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), _CHUNK_LEN)))
+        .alias("chunk_hash"),
+    )

@@ -207,3 +207,44 @@ def test_bpe_pattern_matches_python_re(spark):
     )
     exp = [len(re.findall(BPE_PATTERN, s.lower())) for s in samples]
     assert got == exp
+
+
+def test_suggest_returns_df_ranked_pairs(feat_index):
+    """A31 — (term, df) pairs in (df desc, term asc) order, consistent with
+    expand_prefix, with exact integer dfs."""
+    pairs = feat_index.suggest("st")
+    assert pairs and all(t.startswith("st") for t, _ in pairs)
+    assert [t for t, _ in pairs] == feat_index.expand_prefix("st")
+    key = [(-d, t) for t, d in pairs]
+    assert key == sorted(key)
+    for t, d in pairs:
+        assert d == _df(feat_index, t) and isinstance(d, int)
+
+
+def test_more_like_this_excludes_seed_and_ranks_by_triple(feat_index):
+    """A32 — seed terms picked by (tf desc, df asc, term asc); the seed doc
+    itself never appears when excluded; results equal an explicit OR search
+    over the same terms minus the seed."""
+    seed_text = ROWS[0]
+    hits = feat_index.more_like_this(seed_text, k=3, exclude_doc_id=0)
+    assert all(d != 0 for d, _ in hits)
+    # reproduce the term selection by hand
+    from localsearchengine_spark.operators.search import tokenize_text
+
+    toks = tokenize_text(seed_text, feat_index.cfg)
+    tf = {t: toks.count(t) for t in set(toks)}
+    dic = feat_index.lookup(sorted(tf))
+    ranked = sorted(
+        (t for t in tf if t in dic), key=lambda t: (-tf[t], int(dic[t]["df"]), t)
+    )[:5]
+    manual = [
+        (d, s)
+        for d, s in feat_index.search(sorted(ranked), k=4, mode="wand")
+        if d != 0
+    ][:3]
+    assert hits == manual
+
+
+def test_more_like_this_empty_and_unknown_text(feat_index):
+    assert feat_index.more_like_this("", k=3) == []
+    assert feat_index.more_like_this("zzz qqq unknownwords", k=3) == []

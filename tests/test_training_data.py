@@ -369,3 +369,88 @@ def test_tx05_winnowing_coverage_and_match_guarantee(spark, tmp_path):
     for r in out:
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[1] & fps[2]
+
+
+def _write_docs_table(tmp_path, texts):
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_sk03_exact_under_mg_eviction(spark, tmp_path):
+    """SK3's Misra-Gries candidate pass must stay EXACT when the per-
+    partition counter budget overflows: 2000 distinct rare tokens (>> the
+    256 counters) plus two genuinely heavy tokens — the heavy ones must
+    survive the vectorized decrement and the exact recount must equal the
+    plain groupBy answer."""
+    from localsearchengine_spark.plans import training_data as td
+
+    rare = [f"r{i:04d}" for i in range(2000)]
+    texts = [" ".join(rare[i * 40:(i + 1) * 40]) for i in range(50)]
+    texts += ["hot " * 200 + "warm " * 120] * 10  # heavy: hot 2000, warm 1200
+    sf = _write_docs_table(tmp_path, [t.strip() for t in texts])
+
+    got = {r["term"]: r["cnt"] for r in td.sk03(spark, sf).collect()}
+    toks = (
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    n = toks.count()
+    exact = {
+        r["term"]: r["cnt"]
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r["cnt"] * td._HH_K > n
+    }
+    assert got == exact and "hot" in got and "warm" in got
+
+
+def test_tx12_chunks_hand_computed(spark, tmp_path):
+    """TX12 on a 100-token doc: windows at 1, 49, 97 with lengths 64/52/4;
+    a short doc yields exactly one short chunk."""
+    import hashlib
+
+    from localsearchengine_spark.plans import training_data as td
+
+    toks100 = [f"t{i}" for i in range(100)]
+    sf = _write_docs_table(tmp_path, [" ".join(toks100), "only three tokens"])
+    rows = sorted(
+        (tuple(r) for r in td.tx12(spark, sf).collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+
+    def h(toks):
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    assert rows == [
+        (0, 0, 1, 64, h(toks100[0:64])),
+        (0, 1, 49, 52, h(toks100[48:100])),
+        (0, 2, 97, 4, h(toks100[96:100])),
+        (1, 0, 1, 3, h(["only", "three", "tokens"])),
+    ]
+
+
+def test_b27_latest_upsert_tie_break(spark, tmp_path):
+    """B27 ties on ts resolve by event_id desc, and `value` rides along
+    without deciding the struct-max order."""
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00"] * 2 + ["2024-01-01 09:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [5, 5, 5],
+            "event_type": ["click"] * 3,
+            "value": [9.0, 1.0, 99.0],  # the ts/event_id winner has the SMALL value
+            "props": ["{}"] * 3,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = SPARK_QUERIES["b27_latest_event_upsert"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_id"], r["value"]) == (2, 1.0)
