@@ -47,14 +47,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (not job-overhead-dominated) for the N vs 4N scaling numbers to mean
 # anything — 240k turns ≈ 12.5M tokens at sf0.1.
 TURNS_PER_SF = 2_400_000
-BUILD_REPS = 2  # timed reps per parallelism level; min taken (host is shared)
+# rep counts are env-overridable for quick smoke runs; the driver's per-round
+# run uses the defaults
+BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "2"))
 # The N-vs-4N pair drives the north rule's recorded ≥0.8 criterion, so it
 # gets extra reps: with invisible co-tenants, min-of-reps per level
 # (interleaved — see below) is what reliably recovers the idle-host ratio
 # (round-1 recorded 0.749 from a min-of-2 pair that an idle probe measured
 # at 0.93; round-3 A/B: 0.70 un-interleaved vs 0.77-0.86 interleaved under
 # the same load).
-SCALING_REPS = 4
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
 # The N vs 4N scaling pair needs compute >> the serial per-build overhead
 # (job scheduling, collects, metadata IO) or the ratio measures overhead,
 # not the job.  1.2M turns (~62M tokens) puts the N-level build near 140s
@@ -100,6 +102,42 @@ def _corpus_path(n_turns: int) -> str:
     return path
 
 
+def _cpu_s() -> float:
+    """Cumulative CPU seconds of this process and every LIVE descendant
+    (the JVM + Python workers), PLUS each live member's cutime/cstime —
+    which is where the CPU of short-lived workers that exited and were
+    reaped between samples accumulates (pyspark.daemon reaps its forked
+    workers; getrusage(RUSAGE_CHILDREN) here would only see our own
+    direct children).  Remaining blind spot, noted in BENCH.md: orphans
+    whose parent also died get reaped by init and are lost."""
+    import glob
+
+    hz = float(os.sysconf("SC_CLK_TCK"))
+    info = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            raw = open(stat).read()
+            pid = int(raw.split(" ", 1)[0])
+            rest = raw.rsplit(") ", 1)[1].split()
+            cpu = (int(rest[11]) + int(rest[12])  # utime + stime
+                   + int(rest[13]) + int(rest[14])) / hz  # + reaped kids
+            info[pid] = (int(rest[1]), cpu)
+        except (OSError, IndexError, ValueError):
+            continue
+    me, total = os.getpid(), 0.0
+    for pid, (ppid, cpu) in info.items():
+        p, seen = pid, set()
+        # visited guard: PID reuse during the non-atomic /proc scan can
+        # produce a ppid cycle, which must not hang the bench
+        while p > 1 and p not in seen:
+            seen.add(p)
+            if p == me:
+                total += cpu
+                break
+            p = info.get(p, (0, 0.0))[0]
+    return total
+
+
 def _build_child(
     master: str, src: str, n_turns: int, keep_idx: str | None, reps: int = BUILD_REPS
 ) -> None:
@@ -124,42 +162,6 @@ def _build_child(
     warm_dir = tempfile.mkdtemp(prefix="lse_warm_", dir=BENCH_TMP)
     build_index(spark, warm_src, warm_dir, conf)
     shutil.rmtree(warm_dir, ignore_errors=True)
-
-    import glob
-
-    hz = float(os.sysconf("SC_CLK_TCK"))
-
-    def _cpu_s() -> float:
-        """Cumulative CPU seconds of this process and every LIVE descendant
-        (the JVM + Python workers), PLUS each live member's cutime/cstime —
-        which is where the CPU of short-lived workers that exited and were
-        reaped between samples accumulates (pyspark.daemon reaps its forked
-        workers; getrusage(RUSAGE_CHILDREN) here would only see our own
-        direct children).  Remaining blind spot, noted in BENCH.md: orphans
-        whose parent also died get reaped by init and are lost."""
-        info = {}
-        for stat in glob.glob("/proc/[0-9]*/stat"):
-            try:
-                raw = open(stat).read()
-                pid = int(raw.split(" ", 1)[0])
-                rest = raw.rsplit(") ", 1)[1].split()
-                cpu = (int(rest[11]) + int(rest[12])  # utime + stime
-                       + int(rest[13]) + int(rest[14])) / hz  # + reaped kids
-                info[pid] = (int(rest[1]), cpu)
-            except (OSError, IndexError, ValueError):
-                continue
-        me, total = os.getpid(), 0.0
-        for pid, (ppid, cpu) in info.items():
-            p, seen = pid, set()
-            # visited guard: PID reuse during the non-atomic /proc scan can
-            # produce a ppid cycle, which must not hang the bench
-            while p > 1 and p not in seen:
-                seen.add(p)
-                if p == me:
-                    total += cpu
-                    break
-                p = info.get(p, (0, 0.0))[0]
-        return total
 
     best, best_cpu = None, None
     for _ in range(reps):
@@ -267,35 +269,56 @@ def main() -> None:
     # Query-bench protocol (BASELINE.md min-of-reps rule, round-2 verdict):
     # one FULL-set warm run discarded (first decode of every golden term,
     # worker JIT, parquet footer cache), then min of QUERY_REPS timed runs —
-    # the reproducible steady-state number on this co-tenant host.
-    QUERY_REPS = 2
+    # the reproducible steady-state number on this co-tenant host.  Every
+    # query bench SELF-CERTIFIES (round-3 verdict #4): the artifact carries
+    # all rep wall times plus the process-tree CPU seconds and host 1-min
+    # load around the best rep, so an artifact excursion under co-tenant
+    # load is distinguishable from an engine regression without a re-run
+    # (cpu_s_best ≈ wall x busy-cores is the job; load1 >> CPUS/4 with
+    # cpu_s_best unchanged is the host).
+    QUERY_REPS = 3
+    query_detail: dict[str, dict] = {}
 
-    def _min_of(fn, reps: int = QUERY_REPS) -> float:
+    def _min_of(name: str, fn, reps: int = QUERY_REPS) -> float:
         fn()  # warm, discarded
-        best = float("inf")
+        best, best_cpu, best_load = float("inf"), 0.0, 0.0
+        rep_times: list[float] = []
         for _ in range(reps):
-            t0 = time.time()
+            l0 = os.getloadavg()[0]
+            c0, t0 = _cpu_s(), time.time()
             fn()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            dc = _cpu_s() - c0
+            rep_times.append(round(dt, 3))
+            if dt < best:
+                best, best_cpu = dt, dc
+                best_load = max(l0, os.getloadavg()[0])
+        query_detail[name] = {
+            "reps_s": rep_times,
+            "cpu_s_best": round(best_cpu, 1),
+            "load1_best": round(best_load, 1),
+        }
         return round(best, 3)
 
     queries["search_wand50"] = _min_of(
-        lambda: [index.search(q["terms"], k=q["k"], mode="wand") for q in golden]
+        "search_wand50",
+        lambda: [index.search(q["terms"], k=q["k"], mode="wand") for q in golden],
     )
     n_hits = sum(len(index.search(q["terms"], k=q["k"], mode="wand")) for q in golden)
     queries["search_and50"] = _min_of(
-        lambda: [index.search(q["terms"], k=q["k"], mode="and") for q in golden]
+        "search_and50",
+        lambda: [index.search(q["terms"], k=q["k"], mode="and") for q in golden],
     )
     queries["batch_and50"] = _min_of(
-        lambda: run_queries(spark, index, golden, mode="and").count()
+        "batch_and50", lambda: run_queries(spark, index, golden, mode="and").count()
     )
     queries["batch_or50"] = _min_of(
-        lambda: run_queries(spark, index, golden, mode="or").count()
+        "batch_or50", lambda: run_queries(spark, index, golden, mode="or").count()
     )
 
     for name in ("b03_join_large_agg", "b06_agg_tpch_q1", "b20_bm25_sql_dataframe"):
         fn = SPARK_QUERIES[name]
-        queries[name] = _min_of(lambda: fn(spark, SF_DIR).count())
+        queries[name] = _min_of(name, lambda: fn(spark, SF_DIR).count())
 
     total = round(sum(queries.values()), 3)
     print(
@@ -305,6 +328,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_bench_detail": query_detail,
                 "sf": sf,
                 "throughput": {
                     "n_turns": n_turns,
