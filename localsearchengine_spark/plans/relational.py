@@ -1816,6 +1816,81 @@ def b27(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B28 — bucketed co-located join: the 100-TB strategy SURVEY §2 names for
+# repeated large×large joins.  Both fact tables are written ONCE as
+# bucketed+sorted parquet tables (8 buckets on the join key); every later
+# join on that key then reads bucket-aligned splits and sort-merges with
+# ZERO shuffle on either side (the test pins the Exchange-free join plan).
+# At 10^12 rows this turns an every-query double exchange into a one-time
+# write-side cost — the parquet-native equivalent of co-partitioned Iceberg
+# bucket transforms.  The merge hint keeps the demonstration honest (AQE
+# would otherwise broadcast the small side at test scale).
+# ---------------------------------------------------------------------------
+_BUCKETED_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """lineitem/orders as bucketed+sorted session-catalog tables (cached)."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUCKETED_CACHE:
+        return _BUCKETED_CACHE[key]
+    from localsearchengine_spark.plans.entry_helpers import _workdir
+
+    n = len(_BUCKETED_CACHE)
+    li_name, od_name = f"lse_li_bkt_{n}", f"lse_od_bkt_{n}"
+    (
+        _t(spark, sf_dir, "lineitem")
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", _workdir("lse_bkt_li_"))
+        .mode("overwrite")
+        .saveAsTable(li_name)
+    )
+    (
+        _t(spark, sf_dir, "orders")
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _workdir("lse_bkt_od_"))
+        .mode("overwrite")
+        .saveAsTable(od_name)
+    )
+    _BUCKETED_CACHE[key] = (li_name, od_name)
+    return li_name, od_name
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-free join itself (shared by the b28 row and its plan
+    test): bucket-aligned sort-merge, no Exchange on either input."""
+    li_name, od_name = ensure_bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name)
+    od = spark.table(od_name)
+    return li.hint("merge").join(
+        od, li["l_orderkey"] == od["o_orderkey"]
+    )
+
+
+@q(
+    "b28_bucketed_join_colocated",
+    """SELECT o.o_orderpriority AS priority,
+              CAST(count(*) AS BIGINT) AS n_items,
+              round(sum(l.l_extendedprice), 2) AS sum_price
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY 1""",
+)
+def b28(spark, sf_dir):
+    return (
+        bucketed_join(spark, sf_dir)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.
@@ -1839,6 +1914,7 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "fts23_suggest_prefix",
     "fts24_more_like_this",
     "b27_latest_event_upsert",
+    "b28_bucketed_join_colocated",
     "sk03_heavyhitters_exact",
     "tx12_token_chunks",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)

@@ -88,3 +88,17 @@ def test_batch_query_broadcasts_queryset(spark, built_index):
     df = run_queries(spark, index, [{"query_id": 0, "terms": ["spark", "join"], "k": 5}])
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_b28_bucketed_join_is_shuffle_free(spark):
+    """The bucketed co-located join must sort-merge with ZERO Exchange on
+    either input (bucket-aligned scan supplies the distribution) — the
+    one-time write-side bucketing buys every later join its shuffle."""
+    import os
+
+    from localsearchengine_spark.plans.relational import bucketed_join
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    plan = bucketed_join(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
