@@ -1917,6 +1917,7 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "b28_bucketed_join_colocated",
     "sk03_heavyhitters_exact",
     "tx12_token_chunks",
+    "samp03_train_val_test_split",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)
     "b24_sessionize",
     "b25_pivot",

@@ -1857,3 +1857,49 @@ def tx12(spark, sf_dir):
         F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), _CHUNK_LEN)))
         .alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAMP3 — deterministic train/val/test split: the assignment every training
+# pipeline needs before anything else.  A document's split is a pure
+# function of its id — md5 bucket ∈ [0, 1000) → train [0,980) / val
+# [980,990) / test [990,1000) — so the split is reproducible under re-runs,
+# repartitioning, and engine changes, and any two tables keyed by doc_id
+# agree on membership without a join.  Zero shuffle (per-row expression);
+# leakage-free by construction (a doc_id maps to exactly one split).
+# Near-dup leakage control composes upstream: split on dd08's canonical
+# cluster id instead of doc_id to keep whole duplicate clusters together.
+# ---------------------------------------------------------------------------
+_SPLIT_BUCKETS, _SPLIT_VAL, _SPLIT_TEST = 1000, 980, 990
+
+_SAMP3_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_SPLIT_BUCKETS} AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {_SPLIT_VAL} THEN 'train'
+            WHEN bucket < {_SPLIT_TEST} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@q("samp03_train_val_test_split", _SAMP3_SQL)
+def samp03(spark, sf_dir):
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _SPLIT_BUCKETS
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < _SPLIT_VAL, F.lit("train"))
+            .when(F.col("bucket") < _SPLIT_TEST, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )
