@@ -323,6 +323,16 @@ class Index:
             hits = [(d, s) for d, s in hits if d != int(exclude_doc_id)][:k]
         return hits
 
+    # ---- A33: spell correction / did-you-mean ------------------------------
+    def spell_correct(self, term: str, k: int = 10) -> list[tuple[str, int]]:
+        """Dictionary terms within edit distance ≤ 1 of ``term`` as
+        (term, df), ranked (df desc, term asc) — symmetric-delete candidate
+        probe + exact verify (operators/spell.py).  Requires the optional
+        ``spellings`` component (build_spell_index)."""
+        from localsearchengine_spark.operators.spell import spell_candidates
+
+        return spell_candidates(self, term, k=k)
+
     # ---- A15: posting fetch + decode --------------------------------------
     # Interactive queries deliberately bypass Spark job launch (SURVEY.md
     # §3.2): a pyarrow dataset scan applies the same parquet predicate

@@ -86,6 +86,21 @@ def ensure_documents_index(
     return idx_dir
 
 
+_SPELL_CACHE: set[str] = set()
+
+
+def ensure_spell_index(spark: SparkSession, sf_dir: str) -> str:
+    """Documents index + its optional symmetric-delete ``spellings``
+    component (A33), built once per process."""
+    from localsearchengine_spark.operators.spell import build_spell_index
+
+    idx_dir = ensure_documents_index(spark, sf_dir)
+    if idx_dir not in _SPELL_CACHE:
+        build_spell_index(spark, idx_dir)
+        _SPELL_CACHE.add(idx_dir)
+    return idx_dir
+
+
 _MERGED_CACHE: dict[str, str] = {}
 
 

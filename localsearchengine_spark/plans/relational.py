@@ -1221,6 +1221,38 @@ def fts24(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FTS25 — spell correction / did-you-mean (A33): dictionary terms within
+# edit distance ≤ 1 of a misspelled query term, (df desc, term asc).
+# Engine side: symmetric-delete probe over the distributed-built
+# ``spellings`` component + exact verify (operators/spell.py); oracle:
+# brute-force levenshtein over the recomputed corpus df — equality proves
+# the delete-probe is lossless.
+# ---------------------------------------------------------------------------
+_FTS25_Q, _FTS25_K = "aig", 10
+
+
+@q(
+    "fts25_spell_correct",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY term HAVING levenshtein(term, '{_FTS25_Q}') <= 1
+ORDER BY df DESC, term LIMIT {_FTS25_K}""",
+)
+def fts25(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_spell_index
+
+    index = Index(spark, ensure_spell_index(spark, sf_dir))
+    return spark.createDataFrame(
+        [(t, int(d)) for t, d in index.spell_correct(_FTS25_Q, k=_FTS25_K)],
+        "term string, df long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # FTS17 — distributed faceted search (A25): per facet value, the count of
 # ALL docs matching the conjunctive query — full recall over the decoded
 # postings (term+pid-pruned scan → map-side-combined match test → metadata
@@ -1895,7 +1927,12 @@ def b28(spark, sf_dir):
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.
 # ---------------------------------------------------------------------------
-from localsearchengine_spark.plans import quality, streaming_rows, training_data  # noqa: E402,F401
+from localsearchengine_spark.plans import (  # noqa: E402,F401
+    quality,
+    streaming_rows,
+    training_data,
+    transcripts,
+)
 
 # ---------------------------------------------------------------------------
 # Driver-verification ordering.  The external correctness harness checks only
@@ -1918,6 +1955,9 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "sk03_heavyhitters_exact",
     "tx12_token_chunks",
     "samp03_train_val_test_split",
+    "tr01_conversation_stats",
+    "tr02_context_response_pairs",
+    "fts25_spell_correct",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)
     "b24_sessionize",
     "b25_pivot",

@@ -1,0 +1,197 @@
+"""Multi-turn transcript operators (SURVEY.md §2 Part C, round 4).
+
+The graft payload is *conversation transcripts* (BASELINE.json input_hint:
+``conv_id, turn_idx, role, text, tool, ts``).  The engine rows (fts*) map
+each document to a single-turn conversation so engine docIDs stay equal to
+source doc_ids; the rows here exercise the genuinely multi-turn shape —
+the conversation rollup every transcript pipeline starts with, and the
+(context, response) pair extraction that turns raw transcripts into
+supervised training examples.
+
+Because the driver's oracle is DuckDB SQL over the same parquet, the
+multi-turn table is DERIVED deterministically from ``documents`` with pure
+integer arithmetic that both engines compute identically:
+
+    conv_id  = 'conv%09d' % (doc_id // 5)     -- 5 consecutive docs = 1 conv
+    turn_idx = doc_id % 5
+    role     = turn 3 -> 'tool', even turn -> 'user', odd -> 'assistant'
+    tool     = 'search' on tool turns else ''
+    ts       = timestamp '2025-01-01 00:00:00' + doc_id * 7 seconds
+
+so every decision (grouping, ordering, role, window frame) is
+integer-exact and the per-turn text rides through unchanged (the north
+rule's per-turn text-equality invariant: the window/rollup bodies hash
+``text`` itself).
+
+Scale notes (100 TB): both operators are a single hash aggregate or a
+single conversation-partitioned window — one shuffle on conv_id, which a
+production transcripts table would already be bucketed/partitioned by, so
+the exchange elides under storage-aligned layout (see b28).  Context
+assembly uses a bounded window frame (ROWS BETWEEN 3 PRECEDING AND 1
+PRECEDING) — state per key is O(context window), never O(conversation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from localsearchengine_spark.plans.relational import _t, q
+
+_TURNS_PER_CONV = 5
+_TS_BASE = "2025-01-01 00:00:00"
+_TS_STRIDE_S = 7
+
+# Shared derivation, DuckDB side (kept textually tiny so every oracle below
+# inlines it as a CTE).
+_TRANSCRIPTS_SQL = f"""
+  SELECT 'conv' || lpad(CAST(doc_id // {_TURNS_PER_CONV} AS VARCHAR), 9, '0')
+             AS conv_id,
+         CAST(doc_id % {_TURNS_PER_CONV} AS INT) AS turn_idx,
+         CASE WHEN doc_id % {_TURNS_PER_CONV} = 3 THEN 'tool'
+              WHEN doc_id % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         text,
+         CASE WHEN doc_id % {_TURNS_PER_CONV} = 3 THEN 'search' ELSE '' END
+             AS tool,
+         TIMESTAMP '{_TS_BASE}' + to_seconds(doc_id * {_TS_STRIDE_S}) AS ts
+  FROM documents
+"""
+
+
+def derived_transcripts(spark, sf_dir):
+    """The Spark twin of ``_TRANSCRIPTS_SQL`` (same integer arithmetic)."""
+    d = F.col("doc_id")
+    turn = (d % _TURNS_PER_CONV).cast("int")
+    return _t(spark, sf_dir, "documents").select(
+        F.format_string(
+            "conv%09d", F.floor(d / _TURNS_PER_CONV).cast("long")
+        ).alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.when(turn == 3, F.lit("tool"))
+        .when(d % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+        F.when(turn == 3, F.lit("search")).otherwise(F.lit("")).alias("tool"),
+        (
+            F.to_timestamp(F.lit(_TS_BASE))
+            + F.make_interval(secs=(d * _TS_STRIDE_S).cast("double"))
+        ).alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TR1 — conversation rollup: the first aggregation every transcript
+# pipeline runs (per-conversation shape/size/role-mix stats used for
+# filtering, mixing, and cost estimation).  ONE hash aggregate on conv_id
+# (map-side combined); min_by/max_by ride the unique turn_idx so no
+# ordering ambiguity; the wall-clock span is integer epoch arithmetic.
+# ---------------------------------------------------------------------------
+_TR01_SQL = f"""
+WITH t AS ({_TRANSCRIPTS_SQL})
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT)
+           AS n_assistant,
+       CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       min_by(role, turn_idx) AS first_role,
+       max_by(role, turn_idx) AS last_role,
+       CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_seconds,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS conv_text_hash
+FROM t GROUP BY conv_id
+"""
+
+
+@q("tr01_conversation_stats", _TR01_SQL)
+def tr01(spark, sf_dir):
+    t = derived_transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(F.col("role") == "user", 1)).alias("n_user"),
+        F.count(F.when(F.col("role") == "assistant", 1)).alias("n_assistant"),
+        F.count(F.when(F.col("role") == "tool", 1)).alias("n_tool"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("span_seconds"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+        ).alias("conv_text_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TR2 — (context, response) pair extraction: turn transcripts into
+# supervised examples.  For every assistant turn, the context is the
+# previous up-to-3 turns in order; both sides hash the assembled strings so
+# the driver row pins per-turn text equality through the window.  The frame
+# is bounded (ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING): state per
+# conversation is O(window), so a 10^6-turn pathological conversation
+# cannot blow an executor.  One conv-partitioned window = one shuffle,
+# elided under conv-bucketed layout.
+# ---------------------------------------------------------------------------
+_CTX_TURNS = 3
+
+_TR02_SQL = f"""
+WITH t AS ({_TRANSCRIPTS_SQL}),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         COALESCE(array_to_string(
+             list(text) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN {_CTX_TURNS} PRECEDING
+                                       AND 1 PRECEDING),
+             chr(10)), '') AS context,
+         CAST(count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN {_CTX_TURNS} PRECEDING
+                                      AND 1 PRECEDING) AS INT)
+             AS n_context_turns
+  FROM t)
+SELECT conv_id, turn_idx, n_context_turns,
+       md5(context) AS context_hash,
+       md5(text) AS response_hash,
+       CAST(length(context) AS BIGINT) AS context_chars
+FROM w WHERE role = 'assistant'
+"""
+
+
+@q("tr02_context_response_pairs", _TR02_SQL)
+def tr02(spark, sf_dir):
+    t = derived_transcripts(spark, sf_dir)
+    frame = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-_CTX_TURNS, -1)
+    )
+    w = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.coalesce(
+            F.array_join(F.collect_list("text").over(frame), "\n"), F.lit("")
+        ).alias("context"),
+        F.count(F.lit(1)).over(frame).cast("int").alias("n_context_turns"),
+    )
+    return w.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        "n_context_turns",
+        F.md5("context").alias("context_hash"),
+        F.md5("text").alias("response_hash"),
+        F.length("context").cast("long").alias("context_chars"),
+    )

@@ -1,0 +1,79 @@
+"""A33 spell correction: edit-distance kernel properties and probe
+losslessness of the symmetric-delete candidate generation."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from localsearchengine_spark.operators.spell import edit_distance_le1
+
+from tests.conftest import SF_DIR
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein DP (test-only)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_word = st.text(alphabet="abcdef_", min_size=0, max_size=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_word, _word)
+def test_edit_distance_le1_matches_dp(a, b):
+    assert edit_distance_le1(a, b) == (_lev(a, b) <= 1)
+
+
+@pytest.mark.parametrize(
+    "a,b,expect",
+    [
+        ("spark", "spark", True),   # dist 0
+        ("spark", "sparkk", True),  # insertion
+        ("spark", "spak", True),    # deletion
+        ("spark", "spork", True),   # substitution
+        ("spark", "sprak", False),  # transposition = dist 2
+        ("spark", "sp", False),
+        ("", "a", True),
+        ("", "ab", False),
+    ],
+)
+def test_edit_distance_le1_cases(a, b, expect):
+    assert edit_distance_le1(a, b) is expect
+
+
+def test_spell_probe_lossless_vs_bruteforce(spark):
+    """Symmetric-delete probe ≡ brute-force distance-≤1 scan of the whole
+    dictionary, for every probe term (hit-rich, miss, and in-vocabulary)."""
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_spell_index
+
+    index = Index(spark, ensure_spell_index(spark, SF_DIR))
+    vocab = [
+        (r["term"], int(r["df"]))
+        for r in index._dataset("dictionary").to_table(
+            columns=["term", "df"]
+        ).to_pylist()
+    ]
+    for q in ["aig", "spark", "joun", "zzzzzz", "merg"]:
+        brute = sorted(
+            ((t, df) for t, df in vocab if edit_distance_le1(q, t)),
+            key=lambda r: (-r[1], r[0]),
+        )[:10]
+        assert index.spell_correct(q, k=10) == brute, q
+
+
+def test_spell_correct_empty_term_raises(spark):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_spell_index
+
+    index = Index(spark, ensure_spell_index(spark, SF_DIR))
+    with pytest.raises(ValueError):
+        index.spell_correct("")
