@@ -1923,6 +1923,101 @@ def b28(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B26 — salted skew join (b29): the standard fix when one join key carries
+# a disproportionate share of a large×large shuffle join (A7 applies the
+# same idea inside the posting build).  The BIG side gets a deterministic
+# salt ∈ [0, S) from md5(event_id) — so one hot user_id spreads over S
+# shuffle partitions — and the other side replicates each key row S times;
+# joining on (key, salt) is value-identical to the plain key join, which is
+# exactly what the oracle checks.  shuffle_hash hint pins a shuffled
+# strategy so the salt actually governs the exchange (AQE would otherwise
+# broadcast the small demo dim; at 10^11×10^9 rows neither side
+# broadcasts and this shape is the one that runs).
+# ---------------------------------------------------------------------------
+_B29_SALTS = 8
+
+
+@q(
+    "b29_salted_skew_join",
+    """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS u_events
+                  FROM events GROUP BY user_id)
+       SELECT e.event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(e.value * u.u_events), 2) AS weighted
+       FROM events e JOIN u ON e.user_id = u.user_id
+       GROUP BY e.event_type""",
+)
+def b29(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("u_events"))
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(_B29_SALTS),
+    ).cast("int")
+    big = ev.withColumn("salt", salt)
+    rep = u.select(
+        "user_id",
+        "u_events",
+        F.explode(F.sequence(F.lit(0), F.lit(_B29_SALTS - 1))).alias("salt"),
+    )
+    return (
+        big.hint("shuffle_hash")
+        .join(rep, ["user_id", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("u_events")), 2).alias("weighted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B27 — cube / grouping sets (b30): multi-dimensional rollup in ONE pass —
+# Spark expands the grouping sets map-side and a single hash aggregate
+# (partial + final) produces all 4 granularities; no per-granularity
+# re-scan of the fact table.  Group labels are coalesced to 'ALL' and the
+# grouping id is computed explicitly (grouping(a)*2 + grouping(b)) so both
+# engines emit byte-identical rows.
+# ---------------------------------------------------------------------------
+@q(
+    "b30_cube_grouping_sets",
+    """WITH e AS (SELECT event_type,
+                         CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value
+                  FROM events)
+       SELECT coalesce(event_type, 'ALL') AS event_type,
+              coalesce(day, 'ALL') AS day,
+              CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS gid,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 2) AS sum_value
+       FROM e GROUP BY CUBE (event_type, day)""",
+)
+def b30(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "value",
+    )
+    return (
+        e.cube("event_type", "day")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("day"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "gid",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.
@@ -1958,6 +2053,8 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "tr01_conversation_stats",
     "tr02_context_response_pairs",
     "fts25_spell_correct",
+    "b29_salted_skew_join",
+    "b30_cube_grouping_sets",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)
     "b24_sessionize",
     "b25_pivot",

@@ -102,3 +102,14 @@ def test_b28_bucketed_join_is_shuffle_free(spark):
     plan = bucketed_join(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_b29_salted_join_partitions_on_salt(spark):
+    """The salted skew join must shuffle on (user_id, salt) — the salt in
+    the partitioning keys is the whole point: a hot user_id's rows spread
+    over _B29_SALTS shuffle partitions instead of one."""
+    plan = plan_of(SPARK_QUERIES["b29_salted_skew_join"](spark, SF_DIR))
+    assert "salt" in plan
+    import re
+
+    assert re.search(r"hashpartitioning\([^)]*salt", plan), plan
