@@ -2055,6 +2055,8 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "fts25_spell_correct",
     "b29_salted_skew_join",
     "b30_cube_grouping_sets",
+    "samp04_sequence_packing",
+    "sim04_kmeans_lloyd",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)
     "b24_sessionize",
     "b25_pivot",

@@ -1903,3 +1903,190 @@ def samp03(spark, sf_dir):
             .otherwise(F.lit("test")),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SAMP4 — sequence packing (concat-then-chunk, the GPT-2-style pretraining
+# layout): documents in stable doc_id order are laid head-to-tail on one
+# token stream and cut every _PACK_BUDGET tokens; each doc gets the packed
+# bin it STARTS in and its offset there.  The decision needs a GLOBAL
+# ordered prefix sum — the one primitive a naive window computes on a
+# single partition (a 100-TB anti-pattern).  Implemented as the classic
+# two-phase distributed scan instead:
+#   phase 1: per-bucket token totals (bucket = doc_id // chunk, an explicit
+#            deterministic range partitioning) — P tiny rows to the driver;
+#   phase 2: running offsets per bucket from the broadcast partials +
+#            a bucket-local window cumsum (all buckets in parallel).
+# Driver state is O(P buckets), never O(rows); every per-row value is an
+# exact integer so both engines agree bit-for-bit with the naive
+# single-window oracle.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 256
+_PACK_BUCKETS = 8
+
+_SAMP4_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(floor(start / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+       CAST(start % {_PACK_BUDGET} AS BIGINT) AS offset_in_bin
+FROM c
+"""
+
+
+@q("samp04_sequence_packing", _SAMP4_SQL)
+def samp04(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    n = t.count()  # one scalar; drives the deterministic bucket width
+    chunk = max(1, -(-n // _PACK_BUCKETS))
+    t = t.withColumn("bucket", (F.col("doc_id") / chunk).cast("long"))
+    # phase 1: P partial sums (bounded driver state, P = thousands at 100 TB)
+    partials = t.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    offs: dict[int, int] = {}
+    acc = 0
+    for r in sorted(partials, key=lambda r: r["bucket"]):
+        offs[int(r["bucket"])] = acc
+        acc += int(r["s"])
+    off_map = F.create_map(
+        *[F.lit(v) for kv in sorted(offs.items()) for v in kv]
+    )
+    # phase 2: bucket-local cumsum + broadcast bucket offset
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.element_at(
+        off_map, F.col("bucket")
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("bin_id"),
+        (start % _PACK_BUDGET).cast("long").alias("offset_in_bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SIM4 — k-means clustering (2 Lloyd assignment rounds, 1 centroid update):
+# the iterative-algorithm shape (the same loop trains the IVF cells sim03
+# takes as given).  Spark-first k-means: centroids always live on the
+# driver / in broadcast literals (K·D ints, bounded), vectors never leave
+# their partitions — each assignment is a per-row Catalyst expression
+# (zip_with diff-square + aggregate sum, argmin encoded as
+# least(dist·K + cid), zero shuffle, zero Python — the sim03 pattern), and
+# the update is ONE map-side-combined hash aggregate on (cid, dim) whose
+# K·D-row result is collected.  Every decision is integer-exact:
+# quantized inputs (round(x·1000), the sim02-verified idiom), integer
+# distances, argmin ties broken by cid, and floor(sum/n) centroid
+# components — so the unrolled 2-round SQL oracle matches bit-for-bit.
+# Empty clusters drop (standard Lloyd choice, identical on both engines).
+# ---------------------------------------------------------------------------
+_KM_K = 8
+_KM_DIMS = 64
+
+_SIM4_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT q.vec_id, c0.cid,
+         list_sum(list_transform(range(1, {_KM_DIMS + 1}),
+             j -> (q.qv[j] - c0.cv[j]) * (q.qv[j] - c0.cv[j]))) AS dist
+  FROM q CROSS JOIN c0),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+u1 AS (
+  SELECT a1.cid, t.j,
+         CAST(floor(sum(q.qv[t.j]) * 1.0 / count(*)) AS BIGINT) AS cvj
+  FROM a1 JOIN q USING (vec_id) CROSS JOIN range(1, {_KM_DIMS + 1}) AS t(j)
+  GROUP BY a1.cid, t.j),
+d2 AS (
+  SELECT q.vec_id, u1.cid,
+         sum((q.qv[u1.j] - u1.cvj) * (q.qv[u1.j] - u1.cvj)) AS dist
+  FROM q CROSS JOIN u1 GROUP BY q.vec_id, u1.cid)
+SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist_q FROM (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d2) WHERE rn = 1
+"""
+
+
+def _km_quantized(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("qv"),
+    )
+
+
+def _km_assign(q, cents):
+    """Shuffle-free assignment: argmin over broadcast centroid literals,
+    encoded least(dist*K + cid) so the integer tie-break rides along."""
+    enc = F.least(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(v)) for v in vec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            * _KM_K
+            + F.lit(int(cid))
+            for cid, vec in cents
+        ]
+    )
+    return q.select(
+        "vec_id",
+        "qv",
+        (enc % _KM_K).cast("long").alias("cid"),
+        F.floor(enc / _KM_K).cast("long").alias("dist_q"),
+    )
+
+
+@q("sim04_kmeans_lloyd", _SIM4_SQL)
+def sim04(spark, sf_dir):
+    import math
+
+    qv = _km_quantized(spark, sf_dir)
+    cents = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["qv"]])
+        for r in qv.filter(F.col("vec_id") < _KM_K).collect()
+    )
+    a1 = _km_assign(qv, cents)
+    upd = (
+        a1.select("cid", F.posexplode("qv").alias("j", "v"))
+        .groupBy("cid", "j")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # K·D rows — bounded driver state, like any Spark k-means
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in upd:
+        by_cid.setdefault(int(r["cid"]), {})[int(r["j"])] = math.floor(
+            int(r["s"]) / int(r["n"])
+        )
+    cents1 = sorted(
+        (cid, [dims[j] for j in range(_KM_DIMS)]) for cid, dims in by_cid.items()
+    )
+    return _km_assign(qv, cents1).select("vec_id", "cid", "dist_q")
