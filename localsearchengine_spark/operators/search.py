@@ -505,6 +505,26 @@ class Index:
         return out
 
     # ---- A13 + A16/A17/A18 + A19: search ----------------------------------
+    # ---- A34: synonym / dis-max search -------------------------------------
+    def search_dismax(
+        self, groups: list[list[str]], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Concept search over synonym groups: per doc, each group scores
+        the MAX of its members' BM25 contributions (a doc is not rewarded
+        twice for two spellings of one concept) and the doc score sums the
+        groups — Lucene's DisjunctionMaxQuery semantics.  Members are
+        analyzed with the standard tokenizer; unknown terms contribute
+        nothing; groups are summed in argument order."""
+        norm_groups: list[list[str]] = []
+        for g in groups:
+            toks = sorted({t for m in g for t in tokenize_text(m, self.cfg)})
+            if toks:
+                norm_groups.append(toks)
+        all_terms = sorted({t for g in norm_groups for t in g})
+        post = self.fetch_postings(all_terms)
+        plists = [[post[t] for t in g if t in post] for g in norm_groups]
+        return _dismax_topk([g for g in plists if g], k, self.cfg)
+
     def search(self, query: str | list[str], k: int = 10, mode: str = "and",
                prefix_limit: int = 16):
         """→ list[(doc_id, score)] — score desc, doc_id asc tie-break.
@@ -787,3 +807,34 @@ def _or_topk(plists, k: int, cfg: BM25Config) -> list[tuple[int, float]]:
     """A18 — exhaustive disjunctive scoring (the oracle path WAND must match)."""
     ids = np.unique(np.concatenate([p.doc_ids for p in plists]))
     return _topk(ids, _score_at(plists, ids, cfg), k)
+
+
+def _dismax_topk(groups, k: int, cfg: BM25Config) -> list[tuple[int, float]]:
+    """A34 — disjunction-max scoring (Lucene's DisjunctionMaxQuery shape):
+    per doc, each synonym GROUP contributes the MAX of its members'
+    contributions and the doc score is the sum over groups — so a doc
+    saying both "join" and "merge" is not double-counted for one concept.
+    Determinism: contributions are the same idf·(k1+1)·tf_norm doubles as
+    every other path, the per-group max is exact, and groups are summed in
+    caller order (callers pass ≤2 groups or accept summation order as part
+    of the query contract)."""
+    all_plists = [p for g in groups for p in g]
+    if not all_plists:
+        return []
+    ids = np.unique(np.concatenate([p.doc_ids for p in all_plists]))
+    scores = np.zeros(len(ids), dtype=np.float64)
+    for g in groups:  # fixed group order — determinism contract
+        gmax = np.zeros(len(ids), dtype=np.float64)
+        for p in sorted(g, key=lambda p: p.term):
+            if len(p.doc_ids) == 0:
+                continue
+            pos = np.searchsorted(p.doc_ids, ids)
+            pos_c = np.minimum(pos, len(p.doc_ids) - 1)
+            hit = p.doc_ids[pos_c] == ids
+            np.maximum(
+                gmax,
+                np.where(hit, p.idf * (cfg.k1 + 1.0) * p.tf_norm[pos_c], 0.0),
+                out=gmax,
+            )
+        scores += gmax
+    return _topk(ids, scores, k)

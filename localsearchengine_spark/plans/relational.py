@@ -1253,6 +1253,59 @@ def fts25(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FTS26 — synonym / dis-max search (A34): two concept groups
+# (join|merge, scan); per doc each group contributes the MAX of its
+# members' BM25 contributions, the doc score sums the groups.  Two groups
+# keep the float sum order-proof (a+b is commutative exactly in IEEE).
+# ---------------------------------------------------------------------------
+_FTS26_GROUPS = [["join", "merge"], ["scan"]]
+_FTS26_K = 10
+
+
+def _dismax_sql(groups: list[list[str]], k: int) -> str:
+    cfg = BM25Config()
+    idf = cfg.idf_sql("df.df", "stats.n")
+    terms = sorted({t for g in groups for t in g})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    gid = "CASE tf.term " + " ".join(
+        f"WHEN '{t}' THEN {i}" for i, g in enumerate(groups) for t in g
+    ) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, {gid} AS gid,
+         {idf} * ({cfg.k1} + 1.0) * tf.tf
+             / (tf.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+g AS (SELECT doc_id, gid, max(c) AS c FROM contrib GROUP BY doc_id, gid),
+s AS (SELECT doc_id, sum(c) AS s FROM g GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM s ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+@q("fts26_synonym_dismax", _dismax_sql(_FTS26_GROUPS, _FTS26_K))
+def fts26(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+
+    index = Index(spark, ensure_documents_index(spark, sf_dir))
+    hits = index.search_dismax(_FTS26_GROUPS, k=_FTS26_K)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # FTS17 — distributed faceted search (A25): per facet value, the count of
 # ALL docs matching the conjunctive query — full recall over the decoded
 # postings (term+pid-pruned scan → map-side-combined match test → metadata
@@ -2018,6 +2071,34 @@ def b30(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B28b — distribution window functions (b31): ntile / percent_rank /
+# cume_dist per event_type partition.  The (value desc, event_id) ordering
+# is UNIQUE, so rank ≡ row_number and the rational rank fractions are the
+# same exact integer divisions on both engines.  Partitioned windows scale
+# (no single-partition global sort); completes the ranking-window family
+# (b09 rank, b10 lag/running).
+# ---------------------------------------------------------------------------
+@q(
+    "b31_window_distribution",
+    """SELECT event_id, event_type,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cdist
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)""",
+)
+def b31(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.
@@ -2057,6 +2138,9 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "b30_cube_grouping_sets",
     "samp04_sequence_packing",
     "sim04_kmeans_lloyd",
+    "st04_stream_dedup",
+    "fts26_synonym_dismax",
+    "b31_window_distribution",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)
     "b24_sessionize",
     "b25_pivot",

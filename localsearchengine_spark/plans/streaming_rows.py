@@ -143,3 +143,58 @@ def st03(spark, sf_dir):
             "last_ts_us",
         )
     )
+
+
+def _stage_events_overlapping(sf_dir: str, n_batches: int = 3) -> str:
+    """Three event_id-ordered drops whose ranges OVERLAP ~33% with the next
+    batch, so thousands of event_ids arrive twice in different micro-batches
+    — the input shape streaming dedup exists for (at-least-once upstream
+    delivery).  Union of the drops ≡ the events table plus duplicates."""
+    import pyarrow.parquet as pq
+
+    from localsearchengine_spark.plans.entry_helpers import _workdir
+
+    drop = _workdir("lse_evdropdup_")
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("event_id")
+    n = tbl.num_rows
+    cuts = [n * i // n_batches for i in range(n_batches + 1)]
+    overlap = max(1, n // (3 * n_batches))
+    now = time.time()
+    for i in range(n_batches):
+        start = cuts[i]
+        end = min(n, cuts[i + 1] + (overlap if i + 1 < n_batches else 0))
+        path = os.path.join(drop, f"b{i}.parquet")
+        pq.write_table(tbl.slice(start, end - start), path)
+        os.utime(path, (now + i, now + i))
+    return drop
+
+
+@q(
+    "st04_stream_dedup",
+    """SELECT DISTINCT event_id, user_id, event_type,
+              round(value, 2) AS value, epoch_us(ts) AS ts_us
+       FROM events""",
+)
+def st04(spark, sf_dir):
+    """A28c — streaming exact deduplication: ``dropDuplicates(event_id)``
+    across micro-batches.  The overlapping staging re-delivers ~a third of
+    the rows in a later batch; cross-batch key state must suppress every
+    re-delivery, so the append-mode output equals DISTINCT over the events
+    table (full hash).  State here is O(distinct keys); production bounds it
+    with ``withWatermark + dropDuplicatesWithinWatermark`` (eviction past
+    the lateness horizon), which trades the exact-forever guarantee for
+    bounded state — semantics pinned in tests, not behind the oracle,
+    because a watermark can drop a legitimately late first delivery that
+    batch DISTINCT would keep."""
+    ev = stream_events(
+        spark, _stage_events_overlapping(sf_dir), max_files_per_trigger=1
+    )
+    deduped = ev.dropDuplicates(["event_id"])
+    tbl = run_available_now(deduped, output_mode="append")
+    return spark.table(tbl).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )

@@ -248,3 +248,46 @@ def test_more_like_this_excludes_seed_and_ranks_by_triple(feat_index):
 def test_more_like_this_empty_and_unknown_text(feat_index):
     assert feat_index.more_like_this("", k=3) == []
     assert feat_index.more_like_this("zzz qqq unknownwords", k=3) == []
+
+
+# ---------------------------------------------------------------------------
+# A34 — synonym / dis-max search
+# ---------------------------------------------------------------------------
+def test_dismax_single_groups_equal_or(feat_index):
+    """With every group a singleton, dis-max degenerates to plain OR."""
+    got = feat_index.search_dismax([["stream"], ["table"]], k=10)
+    assert got == feat_index.search(["stream", "table"], k=10, mode="or")
+
+
+def test_dismax_takes_group_max_not_sum(feat_index):
+    """Doc 5 contains both members of the (merge|stream) concept group; its
+    dis-max score must be max(c_merge, c_stream), strictly below the OR
+    score c_merge + c_stream."""
+    or_hits = dict(feat_index.search(["merge", "stream"], k=10, mode="or"))
+    dm_hits = dict(feat_index.search_dismax([["merge", "stream"]], k=10))
+    assert set(dm_hits) == set(or_hits)
+    cfg = feat_index.cfg
+    post = feat_index.fetch_postings(["merge", "stream"])
+
+    def contrib(term, doc):
+        p = post[term]
+        ids = p.doc_ids
+        import numpy as np
+
+        i = int(np.searchsorted(ids, doc))
+        if i < len(ids) and ids[i] == doc:
+            return float(p.idf * (cfg.k1 + 1.0) * p.tf_norm[i])
+        return 0.0
+
+    for doc, s in dm_hits.items():
+        c = [contrib("merge", doc), contrib("stream", doc)]
+        assert s == pytest.approx(max(c), abs=0)
+        if min(c) > 0:  # doc 5: both members present
+            assert s < or_hits[doc]
+    assert min(contrib("merge", 5), contrib("stream", 5)) > 0
+
+
+def test_dismax_unknown_terms_ignored(feat_index):
+    assert feat_index.search_dismax([["zzzmissing"]], k=5) == []
+    got = feat_index.search_dismax([["merge", "zzzmissing"]], k=5)
+    assert got == feat_index.search(["merge"], k=5, mode="or")
