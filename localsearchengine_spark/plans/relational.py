@@ -2141,6 +2141,7 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "st04_stream_dedup",
     "fts26_synonym_dismax",
     "b31_window_distribution",
+    "tx13_bigram_logprob",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)
     "b24_sessionize",
     "b25_pivot",

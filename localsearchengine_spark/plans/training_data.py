@@ -2090,3 +2090,74 @@ def sim04(spark, sf_dir):
         (cid, [dims[j] for j in range(_KM_DIMS)]) for cid, dims in by_cid.items()
     )
     return _km_assign(qv, cents1).select("vec_id", "cid", "dist_q")
+
+
+# ---------------------------------------------------------------------------
+# TX13 — bigram-LM fluency scoring (add-one smoothing): the step up from
+# tx07's unigram logprob — P(w2|w1) catches shuffled-word salad that a
+# unigram model scores as fluent, a standard quality filter for training
+# corpora.  Counts come from ONE bigram hash aggregate (map-side combined)
+# + a context marginal + a vocab count; the per-doc score joins bigram
+# INSTANCES to the count tables (plain equi joins — the bigram table is
+# vocabulary²-bounded and AQE picks broadcast vs shuffle by its real size;
+# at 100 TB it shuffles, which is the right call).  Per-doc float sums
+# ride the tx07 convention: round(·, 6) value column, never a decision.
+# ---------------------------------------------------------------------------
+_TX13_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+big AS (
+  SELECT doc_id, b.w1, b.w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+                                 i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+    FROM toks WHERE len(tk) >= 2)),
+cb AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM big GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT u.w) AS DOUBLE) AS v
+      FROM (SELECT unnest(tk) AS w FROM toks) u)
+SELECT big.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((cb.cb + 1.0) / (c1.c1 + v.v))) / count(*), 6)
+           AS avg_logprob
+FROM big JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY big.doc_id
+"""
+
+
+@q("tx13_bigram_logprob", _TX13_SQL)
+def tx13(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    v = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log((F.col("cb") + 1.0) / (F.col("c1") + F.col("v"))))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
