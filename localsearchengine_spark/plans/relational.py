@@ -2142,6 +2142,7 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "fts26_synonym_dismax",
     "b31_window_distribution",
     "tx13_bigram_logprob",
+    "tr03_sft_dataset",
     # never driver-verified in rounds 1-3 (fell past the 50-row cap)
     "b24_sessionize",
     "b25_pivot",

@@ -195,3 +195,111 @@ def tr02(spark, sf_dir):
         F.md5("text").alias("response_hash"),
         F.length("context").cast("long").alias("context_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TR3 — end-to-end SFT dataset build: the composition row.  transcripts →
+# (context, response) pairs (TR2) → quality gates (has context, response
+# ≥ 5 tokens) → exact response dedup (keep the earliest (conv_id,
+# turn_idx) per response hash — one window) → deterministic train/val/test
+# assignment (samp03's md5-bucket scheme, keyed on conv_id so a
+# conversation never straddles splits).  Every gate and the dedup/split
+# decisions are integer/string-exact; the row proves the pipeline's
+# operators COMPOSE into the artifact a training run actually consumes.
+# Scale shape: one conv-partitioned window (TR2), one response_hash-
+# partitioned window (dedup), per-row split arithmetic — two shuffles
+# total, both on keys a production layout buckets by.
+# ---------------------------------------------------------------------------
+_MIN_RESP_TOKENS = 5
+
+# split constants shared with samp03 (plans/training_data.py, imported
+# before this module by the registration tail in plans/relational.py)
+from localsearchengine_spark.plans.training_data import (  # noqa: E402
+    _SPLIT_BUCKETS,
+    _SPLIT_TEST,
+    _SPLIT_VAL,
+)
+
+_TR03_SQL = f"""
+WITH t AS ({_TRANSCRIPTS_SQL}),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         COALESCE(array_to_string(
+             list(text) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN {_CTX_TURNS} PRECEDING
+                                       AND 1 PRECEDING),
+             chr(10)), '') AS context,
+         CAST(count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN {_CTX_TURNS} PRECEDING
+                                      AND 1 PRECEDING) AS INT)
+             AS n_context_turns
+  FROM t),
+pairs AS (
+  SELECT conv_id, turn_idx, md5(context) AS context_hash,
+         md5(text) AS response_hash,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_response_tokens
+  FROM w
+  WHERE role = 'assistant' AND n_context_turns >= 1
+    AND len(string_split(text, ' ')) >= {_MIN_RESP_TOKENS}),
+dedup AS (
+  SELECT * FROM (
+    SELECT pairs.*,
+           row_number() OVER (PARTITION BY response_hash
+                              ORDER BY conv_id, turn_idx) AS rn
+    FROM pairs) WHERE rn = 1)
+SELECT conv_id, turn_idx, context_hash, response_hash, n_response_tokens,
+       CASE WHEN b < {_SPLIT_VAL} THEN 'train'
+            WHEN b < {_SPLIT_TEST} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT dedup.*,
+             CAST(concat('0x', substring(md5(conv_id), 1, 15)) AS BIGINT)
+                 % {_SPLIT_BUCKETS} AS b
+      FROM dedup)
+"""
+
+
+@q("tr03_sft_dataset", _TR03_SQL)
+def tr03(spark, sf_dir):
+    t = derived_transcripts(spark, sf_dir)
+    frame = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-_CTX_TURNS, -1)
+    )
+    w = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.coalesce(
+            F.array_join(F.collect_list("text").over(frame), "\n"), F.lit("")
+        ).alias("context"),
+        F.count(F.lit(1)).over(frame).cast("int").alias("n_context_turns"),
+    )
+    pairs = w.filter(
+        (F.col("role") == "assistant")
+        & (F.col("n_context_turns") >= 1)
+        & (F.size(F.split(F.col("text"), " ")) >= _MIN_RESP_TOKENS)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.md5("context").alias("context_hash"),
+        F.md5("text").alias("response_hash"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_response_tokens"),
+    )
+    dw = Window.partitionBy("response_hash").orderBy("conv_id", "turn_idx")
+    dedup = (
+        pairs.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("conv_id")), 1, 15), 16, 10).cast("long")
+        % _SPLIT_BUCKETS
+    )
+    return dedup.withColumn(
+        "split",
+        F.when(b < _SPLIT_VAL, F.lit("train"))
+        .when(b < _SPLIT_TEST, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

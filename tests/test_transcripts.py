@@ -75,3 +75,34 @@ def test_tr01_rollup_matches_pandas(spark):
     assert (got["span_seconds"] == span.dt.total_seconds().astype(int)).all()
     conv_hash = grp["text"].apply(lambda s: _md5("\n".join(s)))
     assert (got["conv_text_hash"] == conv_hash).all()
+
+
+def test_tr03_dedup_and_gates_bite(spark, tmp_path):
+    """The driver corpus has no duplicate texts, so tr03's dedup stage
+    passes everything through there; this fixture plants an identical
+    assistant response in two conversations and a too-short response, and
+    asserts the dedup keeps only the earliest (conv_id, turn_idx) and the
+    quality gates drop the short/contextless rows."""
+    import pandas as pd
+
+    from localsearchengine_spark.plans.transcripts import tr03
+
+    dup = "the same answer with plenty of tokens inside"
+    texts = [f"filler text row {i} with several tokens" for i in range(20)]
+    texts[1] = dup            # conv0 turn1  (assistant, has context)
+    texts[11] = dup           # conv2 turn1  (assistant, has context) — dropped
+    texts[7] = "too short"    # conv1 turn2 (doc 7 odd -> assistant)
+    pdf = pd.DataFrame({"doc_id": range(20), "text": texts})
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+    got = tr03(spark, sf).toPandas().set_index(["conv_id", "turn_idx"])
+    # the duplicate survives only at its earliest position
+    assert ("conv000000000", 1) in got.index
+    assert ("conv000000002", 1) not in got.index
+    # the 2-token response fails the >=5-token gate
+    assert ("conv000000001", 2) not in got.index
+    # turn-0 assistant rows (odd convs) have no context -> gated out
+    assert not [ix for ix in got.index if ix[1] == 0]
