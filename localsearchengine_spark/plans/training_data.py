@@ -1870,7 +1870,11 @@ def tx12(spark, sf_dir):
 # Near-dup leakage control composes upstream: split on dd08's canonical
 # cluster id instead of doc_id to keep whole duplicate clusters together.
 # ---------------------------------------------------------------------------
-_SPLIT_BUCKETS, _SPLIT_VAL, _SPLIT_TEST = 1000, 980, 990
+from localsearchengine_spark.plans.splits import (  # noqa: E402
+    SPLIT_BUCKETS as _SPLIT_BUCKETS,
+    SPLIT_TEST as _SPLIT_TEST,
+    SPLIT_VAL as _SPLIT_VAL,
+)
 
 _SAMP3_SQL = f"""
 WITH b AS (

@@ -212,12 +212,12 @@ def tr02(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _MIN_RESP_TOKENS = 5
 
-# split constants shared with samp03 (plans/training_data.py, imported
-# before this module by the registration tail in plans/relational.py)
-from localsearchengine_spark.plans.training_data import (  # noqa: E402
-    _SPLIT_BUCKETS,
-    _SPLIT_TEST,
-    _SPLIT_VAL,
+# split constants shared with samp03 (dependency-free module — see
+# plans/splits.py for why they don't live in training_data)
+from localsearchengine_spark.plans.splits import (  # noqa: E402
+    SPLIT_BUCKETS as _SPLIT_BUCKETS,
+    SPLIT_TEST as _SPLIT_TEST,
+    SPLIT_VAL as _SPLIT_VAL,
 )
 
 _TR03_SQL = f"""
