@@ -525,6 +525,34 @@ class Index:
         plists = [[post[t] for t in g if t in post] for g in norm_groups]
         return _dismax_topk([g for g in plists if g], k, self.cfg)
 
+    # ---- A35: fuzzy search --------------------------------------------------
+    def search_fuzzy(
+        self, terms: list[str], k: int = 10, max_expansions: int = 16
+    ) -> list[tuple[int, float]]:
+        """Fuzzy disjunctive search (Lucene FuzzyQuery shape): each query
+        term expands to the dictionary terms within Levenshtein distance
+        ≤ 1 (the symmetric-delete probe + exact verify of A33), capped at
+        the ``max_expansions`` highest-df variants under the integer-exact
+        (df desc, term asc) order — Lucene's own expansion cap, but decided
+        by exact integer df instead of a float weight.  Each expansion set
+        is then ONE dis-max group (A34): a doc matching both "part" and
+        "sort" for the misspelling "sart" scores the better variant once,
+        never the sum — and the doc score sums the per-query-term groups.
+        Unknown / unexpandable terms contribute nothing.  Requires the
+        optional ``spellings`` component (build_spell_index)."""
+        groups: list[list[str]] = []
+        for raw in terms:
+            for t in tokenize_text(raw, self.cfg):
+                cands = self.spell_correct(t, k=max_expansions)
+                if cands:
+                    groups.append([c for c, _ in cands])
+        if not groups:
+            return []
+        all_terms = sorted({t for g in groups for t in g})
+        post = self.fetch_postings(all_terms)
+        plists = [[post[t] for t in g if t in post] for g in groups]
+        return _dismax_topk([g for g in plists if g], k, self.cfg)
+
     def search(self, query: str | list[str], k: int = 10, mode: str = "and",
                prefix_limit: int = 16):
         """→ list[(doc_id, score)] — score desc, doc_id asc tie-break.

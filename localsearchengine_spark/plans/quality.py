@@ -341,3 +341,138 @@ def tx10(spark, sf_dir):
         .orderBy(F.desc("c_xy"), "w1", "w2")
         .limit(_COLL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# TX14 — PII detection + redaction (the scrub every web-scale training
+# pipeline runs before tokenization; the regex family follows the public
+# BigCode/StarCoder PII pipeline and Dolma's email/IP/phone scrubbers).
+# The synthetic corpus carries no PII, so the row deterministically
+# injects one email, one IPv4 and one phone per document (pure functions
+# of doc_id — both engines derive byte-identical inputs) and then
+# detects + redacts them.  Patterns are kept in the RE2 ∩ Java-regex
+# common subset (character classes, bounded repeats — no lookaround, no
+# backreferences) so Spark (Java regex) and DuckDB (RE2) match
+# identically; replacement is leftmost, all occurrences (Spark
+# regexp_replace is global; DuckDB needs the explicit 'g' flag).
+# Shape for 100 TB: pure per-row Catalyst string expressions — zero
+# shuffle, zero Python; counts are computed on the pre-redaction text so
+# they are independent of replacement order, and redaction applies
+# email → IP → phone (the replacement tokens contain no digits or '@',
+# so later passes cannot re-match earlier rewrites).
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_PHONE = "555-[0-9]{4}"
+
+
+@q(
+    "tx14_pii_redaction",
+    f"""WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                  || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(
+               t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM pii""",
+)
+def tx14(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com from 10."), (did % 256).cast("string"),
+        F.lit(".0."), (F.floor(did / 256) % 256).cast("string"),
+        F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+            .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0)))
+            .cast("long").alias("n_ip"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0)))
+            .cast("long").alias("n_phone"),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DD11 — line-frequency boilerplate detection (the CCNet / Dolma
+# paragraph-dedup shape: a LINE that recurs across many documents is
+# navigation chrome / legal footer, not content, and is dropped or
+# down-weighted before training).  Here a "line" is a fixed 2-token
+# window of the space-split stream (the synthetic corpus has no newlines;
+# 2 tokens over its 31-word vocabulary makes cross-document recurrence
+# real — production uses the newline split and a higher threshold), and a
+# line is boilerplate when it occurs in ≥ {_DD11_T} distinct documents.
+# Shape for 100 TB: line construction is a per-row Catalyst transform
+# (zero shuffle); the corpus pass is ONE hash aggregate keyed by line
+# (bounded by the distinct-line count, map-side combined) — at scale the
+# key would be xxhash64(line) exactly like dd10's gram-hash path; the
+# back-join is line → frequency (AQE broadcasts the frequent-line side
+# when small) followed by ONE per-doc hash aggregate.
+# ---------------------------------------------------------------------------
+_DD11_L = 2   # tokens per line
+_DD11_T = 20  # boilerplate threshold: ≥ T distinct docs
+
+
+@q(
+    "dd11_boilerplate_lines",
+    f"""WITH lines AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 range(0, (len(string_split(text, ' ')) + {_DD11_L} - 1) // {_DD11_L}),
+                 i -> array_to_string(
+                     list_slice(string_split(text, ' '),
+                                i * {_DD11_L} + 1, i * {_DD11_L} + {_DD11_L}),
+                     ' '))) AS line
+      FROM documents),
+    freq AS (SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+             FROM lines GROUP BY line)
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN f.ndocs >= {_DD11_T} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler
+    FROM lines l JOIN freq f USING (line)
+    GROUP BY l.doc_id""",
+)
+def dd11(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    n_lines = F.floor((F.size(toks) + _DD11_L - 1) / _DD11_L).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * _DD11_L + 1, _DD11_L)),
+    )
+    lines = docs.select("doc_id", F.explode(lines_arr).alias("line"))
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").cast("long").alias("ndocs")
+    )
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("ndocs") >= _DD11_T, 1).otherwise(0))
+                .cast("long").alias("n_boiler"),
+        )
+    )

@@ -1306,6 +1306,74 @@ def fts26(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FTS27 — fuzzy search (A35): each query term expands to the dictionary
+# terms within Levenshtein distance ≤ 1, capped at the max_expansions
+# highest-df variants (df desc, term asc — integer-exact), and each
+# expansion set scores as ONE dis-max group (A34).  "sart" expands to
+# {part, sort} on this corpus, so the dis-max-not-sum semantics is
+# actually exercised.  The oracle brute-forces levenshtein over the
+# recomputed vocabulary (proving the symmetric-delete probe lossless end
+# to end) and applies the same cap + the fts26 max-then-sum CTE chain;
+# a term landing in two groups is handled by the gterms JOIN (it would
+# contribute to both, exactly as the engine scores per-group).
+# ---------------------------------------------------------------------------
+_FTS27_TERMS = ["sart", "merg"]  # 2 groups: IEEE sum of 2 is order-proof
+_FTS27_K, _FTS27_MAXEXP = 10, 16
+
+
+def _fuzzy_sql(terms: list[str], k: int, max_expansions: int) -> str:
+    cfg = BM25Config()
+    idf = cfg.idf_sql("df.df", "stats.n")
+    group_sel = "\n  UNION ALL\n".join(
+        f"""  SELECT {gid} AS gid, term FROM (
+    SELECT term, row_number() OVER (ORDER BY dfa DESC, term) AS rn
+    FROM dfall WHERE levenshtein(term, '{t}') <= 1) WHERE rn <= {max_expansions}"""
+        for gid, t in enumerate(terms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+dfall AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfa
+          FROM toks GROUP BY term),
+gterms AS (
+{group_sel}
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                 / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE term IN (SELECT term FROM gterms) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, g.gid,
+         {idf} * ({cfg.k1} + 1.0) * tf.tf
+             / (tf.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN gterms g USING (term) JOIN df USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats),
+g AS (SELECT doc_id, gid, max(c) AS c FROM contrib GROUP BY doc_id, gid),
+s AS (SELECT doc_id, sum(c) AS s FROM g GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM s ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+@q("fts27_fuzzy_search", _fuzzy_sql(_FTS27_TERMS, _FTS27_K, _FTS27_MAXEXP))
+def fts27(spark, sf_dir):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_spell_index
+
+    index = Index(spark, ensure_spell_index(spark, sf_dir))
+    hits = index.search_fuzzy(
+        _FTS27_TERMS, k=_FTS27_K, max_expansions=_FTS27_MAXEXP
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in hits], "doc_id long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # FTS17 — distributed faceted search (A25): per facet value, the count of
 # ALL docs matching the conjunctive query — full recall over the decoded
 # postings (term+pid-pruned scan → map-side-combined match test → metadata

@@ -1581,6 +1581,67 @@ def samp02(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SAMP5 — temperature-scaled domain mixing (the multilingual / multi-domain
+# resampling rule of Conneau & Lample NeurIPS'19 / Arivazhagan et al. '19,
+# α = 0.5): sample domain c at rate ∝ p_c^α, i.e. per-doc acceptance
+# r_c ∝ p_c^(α-1) = 1/√n_c capped at 1 — head domains are downsampled by
+# the square root of their size, tail domains kept (nearly) whole, which
+# flattens the mixture toward uniform without the tail starvation of
+# proportional sampling.
+#
+# The decision avoids sqrt entirely: keep iff  bucket² · n_c < C  with
+# bucket = md5-derived ∈ [0, B) — equivalent to bucket < √(C/n_c), i.e.
+# acceptance min(1, √(C/n_c)/B), and a PURE INTEGER comparison, so the
+# sample is bit-identical across engines / re-runs / repartitions (the
+# repo-wide no-float-decisions contract; samp01/samp02 use the linear
+# form, this is the quadratic one).  Quadrupling a domain halves its rate
+# — exactly α = 0.5.  Overflow bound: (B-1)²·n_c < 2^63 leaves room for
+# n_c up to ~9.2e12 docs per domain at B = 1000; production scales C to
+# the token budget (C = (B·T/|domains|)² / 1 shape) — here C is pinned so
+# the sf0.01 corpus keeps a meaningful, domain-dependent fraction.
+# The domain hash is salted ('mix:') so this decision is independent of
+# samp01/samp03's buckets on the same doc_ids.
+# ---------------------------------------------------------------------------
+_SAMP5_B = 1000
+_SAMP5_C = 4_000_000  # rate = min(1, 2000/√n_c)/1000 → 13% at n=250, 24% at n=70
+
+
+_SAMP5_SQL = f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, c.n_lang,
+       CAST(CAST(concat('0x', substring(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+            % {_SAMP5_B} AS BIGINT) AS bucket
+FROM documents d JOIN c USING (lang)
+WHERE CAST(concat('0x', substring(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      % {_SAMP5_B}
+      * (CAST(concat('0x', substring(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         % {_SAMP5_B})
+      * c.n_lang < {_SAMP5_C}
+"""
+
+
+@q("samp05_temperature_mixing", _SAMP5_SQL)
+def samp05(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_lang"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _SAMP5_B
+    )
+    return (
+        docs.join(F.broadcast(cnt), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") * F.col("bucket") * F.col("n_lang") < F.lit(_SAMP5_C))
+        .select("doc_id", "lang", "n_lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SK1 — count-min sketch (Cormode & Muthukrishnan, J.Alg 2005): term
 # frequencies estimated from a d×w = 4×256 cell grid that NEVER grows with
 # the vocabulary — the sketch is what survives when the exact per-term agg

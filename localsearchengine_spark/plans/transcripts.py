@@ -303,3 +303,77 @@ def tr03(spark, sf_dir):
         .when(b < _SPLIT_TEST, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+# ---------------------------------------------------------------------------
+# TR4 — turn-aligned context-window packing: split each conversation into
+# training windows under a token budget, greedily and at TURN boundaries
+# (never mid-turn — the transcript analogue of samp04's document packing,
+# which is global and order-free; this one is per-conversation and
+# order-DEPENDENT, the shape Spark's window functions cannot express
+# because the running total RESETS at each chunk break).  Implemented as
+# ``applyInPandas`` over conv_id groups — the canonical Spark escape hatch
+# for per-key sequential state: one shuffle on conv_id (elided under
+# conv-bucketed layout, see b28), state per key O(1) (chunk counter +
+# running total), work per key O(turns).  The oracle computes the same
+# greedy recurrence as a recursive CTE stepping turn_idx → turn_idx + 1,
+# so the driver row proves the Python loop ≡ the declarative recurrence
+# exactly (all-integer state).  Rule: the first turn opens chunk 0; a turn
+# that would push the running total past the budget opens a new chunk
+# (an oversized single turn gets a chunk of its own).
+# ---------------------------------------------------------------------------
+_TR04_BUDGET = 120  # tokens per packed window
+
+_TR04_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT conv_id, turn_idx, CAST(len(string_split(text, ' ')) AS INT) AS tok
+  FROM ({_TRANSCRIPTS_SQL})
+),
+walk(conv_id, turn_idx, tok, chunk_id, cur) AS (
+  SELECT conv_id, turn_idx, tok, CAST(0 AS INT), tok FROM t WHERE turn_idx = 0
+  UNION ALL
+  SELECT t.conv_id, t.turn_idx, t.tok,
+         CAST(CASE WHEN w.cur + t.tok > {_TR04_BUDGET} THEN w.chunk_id + 1
+              ELSE w.chunk_id END AS INT),
+         CASE WHEN w.cur + t.tok > {_TR04_BUDGET} THEN t.tok
+              ELSE w.cur + t.tok END
+  FROM walk w JOIN t ON t.conv_id = w.conv_id AND t.turn_idx = w.turn_idx + 1
+)
+SELECT conv_id, turn_idx, tok, chunk_id FROM walk
+"""
+
+
+@q("tr04_context_window_packing", _TR04_SQL)
+def tr04(spark, sf_dir):
+    import pandas as pd
+
+    t = derived_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("tok"),
+    )
+
+    budget = _TR04_BUDGET
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("turn_idx")
+        chunk, cur, out = 0, 0, []
+        for tok in pdf["tok"]:
+            tok = int(tok)
+            if cur > 0 and cur + tok > budget:
+                chunk, cur = chunk + 1, tok
+            else:
+                cur += tok
+            out.append(chunk)
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "tok": pdf["tok"].to_numpy(),
+                "chunk_id": pd.array(out, dtype="int32"),
+            }
+        )
+
+    return t.groupBy("conv_id").applyInPandas(
+        pack, "conv_id string, turn_idx int, tok int, chunk_id int"
+    )

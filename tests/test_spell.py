@@ -77,3 +77,41 @@ def test_spell_correct_empty_term_raises(spark):
     index = Index(spark, ensure_spell_index(spark, SF_DIR))
     with pytest.raises(ValueError):
         index.spell_correct("")
+
+
+def test_search_fuzzy_dismax_over_expansions(spark):
+    """A35: 'sart' expands to {part, sort} on this corpus and the fuzzy
+    score equals dis-max over that expansion group — strictly at most the
+    plain-OR sum, and equal to search_dismax given the same groups."""
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_spell_index
+
+    index = Index(spark, ensure_spell_index(spark, SF_DIR))
+    exp = [t for t, _ in index.spell_correct("sart", k=16)]
+    assert set(exp) == {"part", "sort"}
+    fuzzy = index.search_fuzzy(["sart"], k=10)
+    assert fuzzy == index.search_dismax([exp], k=10)
+    or_scores = dict(index.search(["part", "sort"], k=10_000, mode="or"))
+    assert fuzzy and all(s <= or_scores[d] + 1e-12 for d, s in fuzzy)
+
+
+def test_search_fuzzy_exact_term_degenerates_to_self_group(spark):
+    """A distance-0 in-vocabulary term with no other variants scores
+    exactly like the plain disjunctive search for that term."""
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_spell_index
+
+    index = Index(spark, ensure_spell_index(spark, SF_DIR))
+    exp = [t for t, _ in index.spell_correct("customer", k=16)]
+    assert exp == ["customer"]
+    assert index.search_fuzzy(["customer"], k=10) == index.search(
+        ["customer"], k=10, mode="or"
+    )
+
+
+def test_search_fuzzy_unknown_probe_empty(spark):
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_spell_index
+
+    index = Index(spark, ensure_spell_index(spark, SF_DIR))
+    assert index.search_fuzzy(["zzzzzz"], k=10) == []
