@@ -2167,6 +2167,60 @@ def b31(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B29 — correlated scalar subquery / decorrelation (b32): TPC-H Q17's
+# shape — "lineitems of a brand whose quantity is below 20% of that part's
+# average" — written in the ORACLE as two literal correlated scalar
+# subqueries and on the Spark side as the DECORRELATED plan every engine
+# rewrites it to: ONE map-side-combined per-partkey aggregate joined back
+# to the fact (both sides hash-partitioned on l_partkey, so the agg side
+# reuses its exchange; AQE broadcasts it when small), never one
+# subquery execution per outer row.  The quantity predicate avoids the
+# float average: l_quantity < 0.2·(sq/cq) ⟺ 5·l_quantity·cq < sq with
+# all-BIGINT factors (quantities are integral doubles ≤ 50, so the casts
+# are exact) — no float decides membership; the float sum rides out as
+# the usual round(·, 6) value column with an integer row count beside it.
+# ---------------------------------------------------------------------------
+_B32_BRAND = "Brand#4"
+
+
+@q(
+    "b32_correlated_subquery",
+    f"""SELECT round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly,
+              CAST(count(*) AS BIGINT) AS n_matched
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand = '{_B32_BRAND}'
+         AND 5 * CAST(l.l_quantity AS BIGINT)
+             * (SELECT CAST(count(*) AS BIGINT) FROM lineitem i
+                WHERE i.l_partkey = l.l_partkey)
+             < (SELECT CAST(sum(i.l_quantity) AS BIGINT) FROM lineitem i
+                WHERE i.l_partkey = l.l_partkey)""",
+)
+def b32(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("cq"),
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _B32_BRAND)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    return (
+        li.join(F.broadcast(pt), "l_partkey")
+        .join(agg, "l_partkey")
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("cq")
+            < F.col("sq")
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.

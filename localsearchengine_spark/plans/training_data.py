@@ -2158,6 +2158,118 @@ def sim04(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SIM5 — MMR diversified retrieval (Carbonell & Goldstein, SIGIR 1998):
+# re-rank a relevance-ordered candidate pool so each pick maximizes
+# λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the standard de-redundancy pass
+# over retrieval results feeding RAG / training-example selection.  The
+# two-stage retrieval shape every production system uses: candidate
+# generation is DISTRIBUTED (one scan computing integer dot products
+# against the broadcast query vector, top-|pool| by (rel desc, vec_id));
+# the greedy re-rank is inherently sequential (each pick changes the
+# penalty of the rest) and runs driver-side over the BOUNDED pool —
+# |pool|·D ints collected, O(k·|pool|) with one |pool|² integer Gram
+# matrix.  λ = ½ makes the argmax of ½rel − ½maxsim ≡ argmax of
+# (rel − maxsim): every similarity is an int64 dot of round(x·1000)
+# quantized vectors, so NO float ever decides a pick (ties → vec_id asc).
+# The oracle UNROLLS the k greedy rounds as CTEs (the sim04 pattern) —
+# a FULL hash gate on an iterative algorithm, not rows-only.
+# ---------------------------------------------------------------------------
+_MMR_QID = 0
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_DIMS = 64
+
+
+def _mmr_sql(qid: int, pool: int, k: int, dims: int) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dims + 1}), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    rounds, prev = [], []
+    for r in range(1, k + 1):
+        if not prev:
+            rounds.append(
+                "s1 AS (SELECT vec_id, rel, qv, rel AS mmr FROM pool "
+                "ORDER BY rel DESC, vec_id LIMIT 1)"
+            )
+        else:
+            froms = ", ".join(["pool p"] + prev)
+            notin = ", ".join(f"{s}.vec_id" for s in prev)
+            dots = [dot("p.qv", f"{s}.qv") for s in prev]
+            pen = f"greatest({', '.join(dots)})" if len(dots) > 1 else dots[0]
+            rounds.append(
+                f"s{r} AS (SELECT p.vec_id, p.rel, p.qv, p.rel - {pen} AS mmr"
+                f" FROM {froms} WHERE p.vec_id NOT IN ({notin})"
+                f" ORDER BY p.rel - {pen} DESC, p.vec_id LIMIT 1)"
+            )
+        prev.append(f"s{r}")
+    rounds_sql = ",\n".join(rounds)
+    union_sql = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, vec_id, rel, mmr FROM s{r}" for r in range(1, k + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+qq AS (SELECT qv FROM q WHERE vec_id = {qid}),
+rel AS (
+  SELECT q.vec_id, q.qv, CAST({dot("q.qv", "qq.qv")} AS BIGINT) AS rel
+  FROM q CROSS JOIN qq WHERE q.vec_id <> {qid}),
+pool AS (SELECT vec_id, qv, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {pool}),
+{rounds_sql}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, CAST(mmr AS BIGINT) AS mmr
+FROM ({union_sql})
+"""
+
+
+@q("sim05_mmr_rerank", _mmr_sql(_MMR_QID, _MMR_POOL, _MMR_K, _MMR_DIMS))
+def sim05(spark, sf_dir):
+    qv = _km_quantized(spark, sf_dir)
+    qvec = [
+        int(v)
+        for v in qv.filter(F.col("vec_id") == _MMR_QID).collect()[0]["qv"]
+    ]  # D ints — bounded
+    rel = qv.filter(F.col("vec_id") != _MMR_QID).select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(v) for v in qvec]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("rel"),
+    )
+    pool = rel.orderBy(F.desc("rel"), "vec_id").limit(_MMR_POOL).collect()
+    V = np.array([list(p["qv"]) for p in pool], dtype=np.int64)
+    ids = np.array([int(p["vec_id"]) for p in pool], dtype=np.int64)
+    rels = np.array([int(p["rel"]) for p in pool], dtype=np.int64)
+    gram = V @ V.T  # |pool|² int64 — the only similarity matrix ever built
+    chosen: list[int] = []
+    out: list[tuple[int, int, int, int]] = []
+    remaining = list(range(len(pool)))
+    for r in range(1, _MMR_K + 1):
+        best = None
+        for i in remaining:
+            pen = int(max(gram[i, j] for j in chosen)) if chosen else 0
+            mmr = int(rels[i]) - (pen if chosen else 0)
+            key = (-mmr, int(ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, mmr)
+        _, i, mmr = best
+        out.append((r, int(ids[i]), int(rels[i]), mmr))
+        chosen.append(i)
+        remaining.remove(i)
+    return spark.createDataFrame(out, "rank long, vec_id long, rel long, mmr long")
+
+
+# ---------------------------------------------------------------------------
 # TX13 — bigram-LM fluency scoring (add-one smoothing): the step up from
 # tx07's unigram logprob — P(w2|w1) catches shuffled-word salad that a
 # unigram model scores as fluent, a standard quality filter for training
