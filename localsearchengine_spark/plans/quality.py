@@ -476,3 +476,58 @@ def dd11(spark, sf_dir):
                 .cast("long").alias("n_boiler"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TX15 — text normalization (the canonicalization pass before hashing /
+# dedup / tokenization: casefold, collapse runs of whitespace, trim —
+# what C4/Dolma run so that "Foo  bar " and "foo bar" dedup together).
+# The corpus is already clean, so the row deterministically un-normalizes
+# first (uppercases the first 10 chars, wraps in tabs/double spaces —
+# pure functions both engines compute identically) and then proves the
+# normalizer restores a canonical form: n_chars_messy > n_chars_norm and
+# norm(messy(text)) == norm(text) ride out as checkable columns.
+# Shape for 100 TB: pure per-row Catalyst string expressions — zero
+# shuffle, zero Python; the whitespace class is the RE2 ∩ Java common
+# subset ([ \t] literally, not \s whose Unicode semantics differ).
+# ---------------------------------------------------------------------------
+@q(
+    "tx15_text_normalize",
+    """WITH messy AS (
+      SELECT doc_id,
+             chr(9) || ' ' || upper(substring(text, 1, 10))
+                    || substring(text, 11) || '  ' || chr(9) AS m,
+             text
+      FROM documents),
+    norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(m), '[ \t]+', ' ', 'g')) AS n_m,
+             trim(regexp_replace(lower(text), '[ \t]+', ' ', 'g')) AS n_t,
+             CAST(length(m) AS BIGINT) AS n_chars_messy
+      FROM messy)
+    SELECT doc_id, n_chars_messy,
+           CAST(length(n_m) AS BIGINT) AS n_chars_norm,
+           md5(n_m) AS norm_hash,
+           CAST(CASE WHEN n_m = n_t THEN 1 ELSE 0 END AS BIGINT) AS idempotent
+    FROM norm""",
+)
+def tx15(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    m = F.concat(
+        F.lit("\t "),
+        F.upper(F.substring(text, 1, 10)),
+        F.expr("substring(text, 11)"),
+        F.lit("  \t"),
+    )
+
+    def norm(c):
+        return F.trim(F.regexp_replace(F.lower(c), "[ \t]+", " "))
+
+    return docs.select(
+        "doc_id",
+        F.length(m).cast("long").alias("n_chars_messy"),
+        F.length(norm(m)).cast("long").alias("n_chars_norm"),
+        F.md5(norm(m)).alias("norm_hash"),
+        F.when(norm(m) == norm(text), 1).otherwise(0).cast("long").alias("idempotent"),
+    )

@@ -2221,6 +2221,44 @@ def b32(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B30 — time-RANGE sliding window (b33): per-user trailing-1-hour event
+# count and value sum at every event — the "activity in the last hour"
+# frame ROWS windows cannot express (the frame is defined by the ORDER
+# value, not a row count, so ties and irregular spacing are handled by
+# value, deterministically).  Ordering key is integer epoch-MICROseconds
+# (`unix_micros` / `epoch_us`) — identical int64 on both engines, no
+# seconds truncation, no float time — and RANGE frames depend only on
+# that value, so the result is insensitive to tie order.  One shuffle on
+# user_id; frame evaluation is the streaming two-pointer pass over each
+# partition (O(n) per key), the same shape at any scale.
+# ---------------------------------------------------------------------------
+_B33_RANGE_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@q(
+    "b33_window_time_range",
+    f"""SELECT event_id, user_id,
+              CAST(count(*) OVER w AS BIGINT) AS n_1h,
+              round(sum(value) OVER w, 6) AS sum_1h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN {_B33_RANGE_US} PRECEDING AND CURRENT ROW)""",
+)
+def b33(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-_B33_RANGE_US, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.
