@@ -198,3 +198,43 @@ def st04(spark, sf_dir):
         F.round("value", 2).alias("value"),
         F.unix_micros("ts").alias("ts_us"),
     )
+
+
+@q(
+    "st05_stream_static_join",
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey, c.c_mktsegment,
+              round(e.value, 2) AS value, epoch_us(e.ts) AS ts_us
+       FROM events e JOIN customer c ON c.c_custkey = e.user_id""",
+)
+def st05(spark, sf_dir):
+    """A28d — stream-static enrichment join: the streaming events join the
+    STATIC customer dimension on user_id = c_custkey, the canonical
+    Structured Streaming enrichment pattern (dimension lookup per
+    micro-batch).  Stream-static joins are STATELESS — no watermark, no
+    join state store; Spark re-plans the static side each micro-batch and
+    broadcasts it when small, so state is O(0) regardless of stream
+    length (the property that distinguishes this from stream-stream
+    joins, whose state grows with the watermark gap).  Three mtime-ordered
+    drops (maxFilesPerTrigger=1) prove the join holds per micro-batch:
+    append-mode output over all batches must equal the batch SQL join
+    (full hash).  At 100 TB the static side is a broadcast if it fits or
+    a shuffled join under AQE — either way chosen per micro-batch."""
+    ev = stream_events(
+        spark, _stage_events_multibatch(sf_dir), max_files_per_trigger=1
+    )
+    cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .withColumnRenamed("c_custkey", "user_id")
+        .select("user_id", "c_name", "c_nationkey", "c_mktsegment")
+    )
+    joined = ev.join(cust, "user_id")
+    tbl = run_available_now(joined, output_mode="append")
+    return spark.table(tbl).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round("value", 2).alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
