@@ -1824,6 +1824,129 @@ def sk02(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SK4 — Bloom-filter semi-join pruning (Bloom CACM 1970; the runtime-filter
+# shape Spark's own InjectRuntimeFilter and every warehouse engine use):
+# build a bits-of-md5 Bloom filter over the SELECTIVE side's join keys
+# (orders with o_totalprice above a threshold), probe the fact side's keys
+# against it, and only the bloom-positive keys reach the exact join — at
+# 100 TB the probe prunes the fact scan BEFORE the expensive shuffle,
+# which is the entire point.  The sketch is m = 32,768 bits in 62-bit
+# words (bit 62/63 never set: DuckDB's `<<` raises on 1<<63, so words are
+# 62 bits wide on BOTH engines), k = 4 md5-derived positions per key —
+# built by ONE map-side-combined bit_or aggregate (≤ 529 words ≈ 4 KB
+# regardless of build-side size, mergeable), broadcast to the probe.
+# Every position is an md5-derived integer (the repo's cross-engine hash
+# contract), so the bitset — and therefore every bloom decision,
+# INCLUDING the false positives — is bit-identical in the SQL oracle; the
+# row emits is_exact alongside so the FP rows are visible as is_exact=0.
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 32_768
+_BLOOM_WORD = 62  # bits per word; max shift 61 keeps both engines in int64
+_BLOOM_K = 4
+_BLOOM_THRESH = 450_000  # o_totalprice cut: ~1.5k build keys at sf0.01
+
+
+def _bloom_pos_sql(key_expr: str, j_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat(CAST({key_expr} AS VARCHAR), '#', "
+        f"CAST({j_expr} AS VARCHAR))), 1, 15)) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+_SK4_SQL = f"""
+WITH filt AS (SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_THRESH}),
+js AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+bpos AS (SELECT {_bloom_pos_sql('f.o_orderkey', 'js.j')} AS pos
+         FROM filt f CROSS JOIN js),
+words AS (SELECT pos // {_BLOOM_WORD} AS w,
+                 bit_or((1::BIGINT) << CAST(pos % {_BLOOM_WORD} AS INT)) AS word
+          FROM bpos GROUP BY 1),
+keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+kpos AS (SELECT k.l_orderkey, js.j,
+                {_bloom_pos_sql('k.l_orderkey', 'js.j')} AS pos
+         FROM keys k CROSS JOIN js),
+hit AS (
+  SELECT kp.l_orderkey
+  FROM kpos kp JOIN words ON words.w = kp.pos // {_BLOOM_WORD}
+  WHERE (words.word & ((1::BIGINT) << CAST(kp.pos % {_BLOOM_WORD} AS INT))) <> 0
+  GROUP BY kp.l_orderkey HAVING count(DISTINCT kp.j) = {_BLOOM_K})
+SELECT h.l_orderkey,
+       CAST(CASE WHEN f.o_orderkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_exact
+FROM hit h LEFT JOIN filt f ON f.o_orderkey = h.l_orderkey
+"""
+
+
+def _bloom_pos_col(key, j: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f"#{j}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_BITS
+    )
+
+
+@q("sk04_bloom_semijoin", _SK4_SQL)
+def sk04(spark, sf_dir):
+    filt = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _BLOOM_THRESH)
+        .select("o_orderkey")
+    )
+    k = F.col("o_orderkey")
+    bpos = filt.select(
+        F.explode(
+            F.array(*[_bloom_pos_col(k, j) for j in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    words = bpos.groupBy(
+        F.floor(F.col("pos") / _BLOOM_WORD).alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+            )
+        ).alias("word")
+    )
+    keys = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    lk = F.col("l_orderkey")
+    kpos = keys.select(
+        "l_orderkey",
+        F.posexplode(
+            F.array(*[_bloom_pos_col(lk, j) for j in range(_BLOOM_K)])
+        ).alias("j", "pos"),
+    )
+    hit = (
+        kpos.join(
+            F.broadcast(words),
+            F.floor(F.col("pos") / _BLOOM_WORD) == F.col("w"),
+        )
+        .filter(
+            F.expr(
+                f"(word & shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_BLOOM_WORD} AS INT))) != 0"
+            )
+        )
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("j").alias("nj"))
+        .filter(F.col("nj") == _BLOOM_K)
+    )
+    return hit.join(
+        filt.withColumnRenamed("o_orderkey", "l_orderkey").withColumn(
+            "mark", F.lit(1)
+        ),
+        "l_orderkey",
+        "left",
+    ).select(
+        "l_orderkey",
+        F.coalesce(F.col("mark"), F.lit(0)).cast("long").alias("is_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SK3 — heavy hitters, EXACT via a Misra-Gries candidate pass (Misra & Gries
 # 1982; mergeable-summary form per Agarwal et al., "Mergeable Summaries",
 # PODS 2012): per partition, a bounded summary of _HH_COUNTERS counters is
