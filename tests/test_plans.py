@@ -113,3 +113,35 @@ def test_b29_salted_join_partitions_on_salt(spark):
     import re
 
     assert re.search(r"hashpartitioning\([^)]*salt", plan), plan
+
+
+def test_tx14_pii_redaction_zero_shuffle(spark):
+    """PII redaction is pure per-row string work: the physical plan must
+    contain no Exchange and no Python evaluation at all."""
+    plan = plan_of(SPARK_QUERIES["tx14_pii_redaction"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_b32_correlated_subquery_decorrelated(spark):
+    """The Q17-shape row must run as the decorrelated plan: per-partkey
+    aggregate joined back (broadcast under AQE at this scale), never a
+    per-outer-row subquery node."""
+    plan = plan_of(SPARK_QUERIES["b32_correlated_subquery"](spark, SF_DIR))
+    assert "Subquery" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sk04_bloom_words_broadcast(spark):
+    """The bloom bitset (≤529 words) must reach the probe side as a
+    broadcast — the probe never shuffles against the build side."""
+    plan = plan_of(SPARK_QUERIES["sk04_bloom_semijoin"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_b33_range_frame_in_plan(spark):
+    """The trailing-1h window must be a RANGE frame over the int64
+    epoch-microsecond ordering key, partitioned by user_id (one shuffle)."""
+    plan = plan_of(SPARK_QUERIES["b33_window_time_range"](spark, SF_DIR))
+    assert "RangeFrame" in plan, plan
+    assert plan.count("Exchange") <= 2  # one hash partitioning (+AQE read)
