@@ -377,3 +377,37 @@ def tr04(spark, sf_dir):
     return t.groupBy("conv_id").applyInPandas(
         pack, "conv_id string, turn_idx int, tok int, chunk_id int"
     )
+
+
+# ---------------------------------------------------------------------------
+# TR5 — role-transition matrix: corpus-wide counts of consecutive-turn
+# role pairs (user→assistant, assistant→tool, ...) — the conversation-flow
+# diagnostic a transcript pipeline checks before trusting its role
+# labeling (a spike in assistant→assistant means dropped user turns; any
+# X→user after turn 0 outside the expected cadence means mis-threaded
+# conversations).  ONE conv-partitioned lag window (bounded frame, state
+# O(1) per key) feeding ONE tiny hash aggregate (≤ |roles|² = 9 keys,
+# map-side combined) — all integer counts, no floats anywhere.
+# ---------------------------------------------------------------------------
+_TR05_SQL = f"""
+WITH t AS ({_TRANSCRIPTS_SQL}),
+p AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM t)
+SELECT prev_role, role AS next_role, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
+@q("tr05_role_transitions", _TR05_SQL)
+def tr05(spark, sf_dir):
+    t = derived_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.select("conv_id", "role", F.lag("role").over(w).alias("prev_role"))
+        .filter(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", F.col("role").alias("next_role"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
