@@ -424,12 +424,16 @@ def tx14(spark, sf_dir):
 # 2 tokens over its 31-word vocabulary makes cross-document recurrence
 # real — production uses the newline split and a higher threshold), and a
 # line is boilerplate when it occurs in ≥ {_DD11_T} distinct documents.
-# Shape for 100 TB: line construction is a per-row Catalyst transform
-# (zero shuffle); the corpus pass is ONE hash aggregate keyed by line
-# (bounded by the distinct-line count, map-side combined) — at scale the
-# key would be xxhash64(line) exactly like dd10's gram-hash path; the
-# back-join is line → frequency (AQE broadcasts the frequent-line side
-# when small) followed by ONE per-doc hash aggregate.
+# Shape for 100 TB (hash_lines=True, the default — the dd10 gram-hash
+# pattern): n_lines is a per-row array size (the line stream is never
+# shuffled by doc_id for the count); the corpus-wide distinct-doc pass
+# shuffles 64-bit xxhash64 line keys, not the line strings; hashes hitting
+# the ≥T threshold are re-verified by an exact distinct-doc recount per
+# line STRING over only the flagged subset (a collision can only ADD a
+# candidate, never merge counts past the verify), so the result is exact;
+# the boilerplate-line set is small by construction (most lines are not
+# chrome), so the final per-doc count is a semi-join against a set AQE
+# broadcasts.  hash_lines=False keeps the plain string-key path for A/B.
 # ---------------------------------------------------------------------------
 _DD11_L = 2   # tokens per line
 _DD11_T = 20  # boilerplate threshold: ≥ T distinct docs
@@ -455,7 +459,7 @@ _DD11_T = 20  # boilerplate threshold: ≥ T distinct docs
     FROM lines l JOIN freq f USING (line)
     GROUP BY l.doc_id""",
 )
-def dd11(spark, sf_dir):
+def dd11(spark, sf_dir, hash_lines: bool = True):
     docs = _t(spark, sf_dir, "documents")
     toks = _toks()
     n_lines = F.floor((F.size(toks) + _DD11_L - 1) / _DD11_L).cast("int")
@@ -464,17 +468,42 @@ def dd11(spark, sf_dir):
         lambda i: F.concat_ws(" ", F.slice(toks, i * _DD11_L + 1, _DD11_L)),
     )
     lines = docs.select("doc_id", F.explode(lines_arr).alias("line"))
-    freq = lines.groupBy("line").agg(
-        F.countDistinct("doc_id").cast("long").alias("ndocs")
-    )
-    return (
-        lines.join(freq, "line")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.when(F.col("ndocs") >= _DD11_T, 1).otherwise(0))
-                .cast("long").alias("n_boiler"),
+    if hash_lines:
+        lh = lines.withColumn("lh", F.xxhash64("line"))
+        cand = (
+            lh.select("lh", "doc_id").distinct()
+            .groupBy("lh")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= _DD11_T)
+            .select("lh")
         )
+        # verify: exact distinct-doc recount per line STRING, flagged set only
+        boiler = (
+            lh.join(cand, "lh", "left_semi")
+            .select("line", "doc_id").distinct()
+            .groupBy("line")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= _DD11_T)
+            .select("line")
+        )
+    else:
+        boiler = (
+            lines.select("line", "doc_id").distinct()
+            .groupBy("line")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= _DD11_T)
+            .select("line")
+        )
+    base = docs.select("doc_id", F.size(lines_arr).cast("long").alias("n_lines"))
+    nboil = (
+        lines.join(boiler, "line", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    return base.join(nboil, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_boiler"),
     )
 
 

@@ -108,3 +108,32 @@ def test_dd10_verify_filters_hash_collisions(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(F, "xxhash64", lambda *cols: F.lit(7).cast("long"))
     got = {r["doc_id"]: tuple(r) for r in ql.dd10(spark, sf, hash_grams=True).collect()}
     assert got == expected
+
+
+def test_dd11_hash_path_identical_to_string_path(spark):
+    """The 64-bit line-hash + string-verify path (the at-scale shape — the
+    distinct-doc shuffle carries xxhash64 keys, not line strings) must be
+    value-identical to the plain string-key path on the full sf0.01 corpus."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    hashed = {r["doc_id"]: tuple(r) for r in ql.dd11(spark, sf, hash_lines=True).collect()}
+    plain = {r["doc_id"]: tuple(r) for r in ql.dd11(spark, sf, hash_lines=False).collect()}
+    assert hashed == plain
+
+
+def test_dd11_verify_filters_hash_collisions(spark, tmp_path, monkeypatch):
+    """Force a universal hash collision (constant hash) — stage 1 then flags
+    every line-hash, but the string-verify recount keeps only lines truly in
+    ≥ T distinct docs, so the output is unchanged."""
+    from pyspark.sql import functions as F
+
+    boiler, thresh = "nav bar", ql._DD11_T
+    texts = [f"{boiler} body{i} text{i}" for i in range(thresh)]  # boiler in T docs
+    texts += [f"solo{i} only{i}" for i in range(5)]               # below threshold
+    sf = _write_docs(tmp_path, texts)
+    expected = {r["doc_id"]: tuple(r) for r in ql.dd11(spark, sf, hash_lines=False).collect()}
+    assert any(r[2] > 0 for r in expected.values())  # the planted boiler line fires
+    monkeypatch.setattr(F, "xxhash64", lambda *cols: F.lit(7).cast("long"))
+    got = {r["doc_id"]: tuple(r) for r in ql.dd11(spark, sf, hash_lines=True).collect()}
+    assert got == expected
