@@ -279,7 +279,11 @@ class Index:
             raise ValueError("empty prefix")
         # Successor string for the half-open upper bound: drop trailing
         # U+10FFFF code points before incrementing (chr(0x10FFFF+1) raises);
-        # an all-max prefix leaves the range unbounded above.  Code-point
+        # an all-max prefix leaves the range unbounded above.  Incrementing
+        # U+D7FF must skip the surrogate block to U+E000 — lone surrogates
+        # are not encodable and pyarrow rejects them as filter bounds — which
+        # preserves bound correctness because no VALID term contains a
+        # surrogate either (nothing sorts inside the skipped gap).  Code-point
         # order coincides with pyarrow's binary UTF-8 string order, so the
         # bound is correct beyond the analyzer's [0-9a-z_] alphabet too.
         stem = prefix
@@ -287,7 +291,10 @@ class Index:
             stem = stem[:-1]
         filt = ds.field("term") >= prefix
         if stem:
-            filt = filt & (ds.field("term") < stem[:-1] + chr(ord(stem[-1]) + 1))
+            nxt = ord(stem[-1]) + 1
+            if nxt == 0xD800:
+                nxt = 0xE000
+            filt = filt & (ds.field("term") < stem[:-1] + chr(nxt))
         tbl = self._dataset("dictionary").to_table(
             columns=["term", "df"], filter=filt
         )

@@ -59,9 +59,13 @@ def build_spell_index(
         term.alias("term"),
         "df",
     )
-    nparts = n_partitions or max(
-        1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
-    )
+    # "spark.sql.shuffle.partitions" may be the non-numeric "auto" under
+    # some AQE configurations — fall back to the cluster's parallelism.
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        shuffle_parts = spark.sparkContext.defaultParallelism
+    nparts = n_partitions or max(1, shuffle_parts // 4)
     (
         variants.repartitionByRange(nparts, "variant")
         .sortWithinPartitions("variant")

@@ -1267,13 +1267,21 @@ def _dismax_sql(groups: list[list[str]], k: int) -> str:
     idf = cfg.idf_sql("df.df", "stats.n")
     terms = sorted({t for g in groups for t in g})
     in_list = ", ".join(f"'{t}'" for t in terms)
-    gid = "CASE tf.term " + " ".join(
-        f"WHEN '{t}' THEN {i}" for i, g in enumerate(groups) for t in g
-    ) + " END"
+    # (gid, term) membership JOIN rather than a first-WHEN-wins CASE: the
+    # engine's search_dismax scores a term in EVERY group that contains it,
+    # so overlapping synonym groups must fan the term out per group here too
+    # (the same gterms shape _fuzzy_sql uses).
+    gterms = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS gid, '{t}' AS term"
+        for i, g in enumerate(groups) for t in g
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
   FROM documents
+),
+gterms AS (
+{gterms}
 ),
 dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
@@ -1283,10 +1291,11 @@ tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
        WHERE term IN ({in_list}) GROUP BY doc_id, term),
 df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
 contrib AS (
-  SELECT tf.doc_id, {gid} AS gid,
+  SELECT tf.doc_id, g.gid,
          {idf} * ({cfg.k1} + 1.0) * tf.tf
              / (tf.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dl.dl / stats.avgdl)) AS c
-  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+  FROM tf JOIN gterms g USING (term) JOIN df USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats),
 g AS (SELECT doc_id, gid, max(c) AS c FROM contrib GROUP BY doc_id, gid),
 s AS (SELECT doc_id, sum(c) AS s FROM g GROUP BY doc_id)
 SELECT doc_id, round(s, 6) AS score FROM s ORDER BY s DESC, doc_id LIMIT {k}

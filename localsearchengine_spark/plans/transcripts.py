@@ -316,9 +316,13 @@ def tr03(spark, sf_dir):
 # for per-key sequential state: one shuffle on conv_id (elided under
 # conv-bucketed layout, see b28), state per key O(1) (chunk counter +
 # running total), work per key O(turns).  The oracle computes the same
-# greedy recurrence as a recursive CTE stepping turn_idx → turn_idx + 1,
-# so the driver row proves the Python loop ≡ the declarative recurrence
-# exactly (all-integer state).  Rule: the first turn opens chunk 0; a turn
+# greedy recurrence as a recursive CTE seeded at each conversation's
+# min(turn_idx) and stepping turn_idx → turn_idx + 1; CONTIGUOUS turn
+# indexes per conversation are a precondition of the recursive step (the
+# engine's data-model contract — stable turn ordering with dense turn_idx;
+# the kernel itself orders by turn_idx and needs no density).  The driver
+# row proves the Python loop ≡ the declarative recurrence exactly
+# (all-integer state).  Rule: the first turn opens chunk 0; a turn
 # that would push the running total past the budget opens a new chunk
 # (an oversized single turn gets a chunk of its own).
 # ---------------------------------------------------------------------------
@@ -329,8 +333,10 @@ WITH RECURSIVE t AS (
   SELECT conv_id, turn_idx, CAST(len(string_split(text, ' ')) AS INT) AS tok
   FROM ({_TRANSCRIPTS_SQL})
 ),
+seed AS (SELECT conv_id, min(turn_idx) AS t0 FROM t GROUP BY conv_id),
 walk(conv_id, turn_idx, tok, chunk_id, cur) AS (
-  SELECT conv_id, turn_idx, tok, CAST(0 AS INT), tok FROM t WHERE turn_idx = 0
+  SELECT t.conv_id, t.turn_idx, t.tok, CAST(0 AS INT), t.tok
+  FROM t JOIN seed s ON t.conv_id = s.conv_id AND t.turn_idx = s.t0
   UNION ALL
   SELECT t.conv_id, t.turn_idx, t.tok,
          CAST(CASE WHEN w.cur + t.tok > {_TR04_BUDGET} THEN w.chunk_id + 1

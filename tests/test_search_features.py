@@ -291,3 +291,40 @@ def test_dismax_unknown_terms_ignored(feat_index):
     assert feat_index.search_dismax([["zzzmissing"]], k=5) == []
     got = feat_index.search_dismax([["merge", "zzzmissing"]], k=5)
     assert got == feat_index.search(["merge"], k=5, mode="or")
+
+
+def test_suggest_surrogate_boundary_prefix(feat_index):
+    """A prefix ending at U+D7FF must not produce a lone-surrogate upper
+    bound (pyarrow rejects it as a filter value): the successor skips the
+    surrogate block to U+E000.  No analyzer term contains such code points,
+    so the probe just has to not raise and return an empty set."""
+    assert feat_index.suggest("퟿") == []
+    assert feat_index.suggest("st퟿") == []
+    # all-max prefix still handled (unbounded-above range)
+    assert feat_index.suggest("\U0010ffff") == []
+
+
+def test_dismax_overlapping_groups_engine_matches_oracle(spark):
+    """A term appearing in TWO synonym groups must score in both (engine
+    semantics); the oracle's (gid, term) membership join — not a
+    first-WHEN-wins CASE — reproduces that, so engine ≡ oracle holds for
+    overlapping groups too, not just the disjoint fts26 registration."""
+    import os
+
+    import duckdb
+
+    from localsearchengine_spark.operators.search import Index
+    from localsearchengine_spark.plans.entry_helpers import ensure_documents_index
+    from localsearchengine_spark.plans.relational import _dismax_sql
+
+    sf = "/root/testdata/sf0.001"
+    groups = [["join", "merge"], ["merge", "scan"]]  # 'merge' overlaps
+    index = Index(spark, ensure_documents_index(spark, sf))
+    hits = [(d, round(float(s), 6)) for d, s in index.search_dismax(groups, k=10)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf, 'documents.parquet')}'"
+    )
+    oracle = [(int(d), float(s)) for d, s in con.sql(_dismax_sql(groups, 10)).fetchall()]
+    assert hits == oracle

@@ -115,3 +115,39 @@ def test_search_fuzzy_unknown_probe_empty(spark):
 
     index = Index(spark, ensure_spell_index(spark, SF_DIR))
     assert index.search_fuzzy(["zzzzzz"], k=10) == []
+
+
+def test_build_spell_index_tolerates_auto_shuffle_partitions(spark, tmp_path):
+    """"spark.sql.shuffle.partitions" may be the non-numeric "auto" under
+    some AQE configurations (this Spark build rejects setting it live, so the
+    read is stubbed); the partition-count fallback must not raise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from localsearchengine_spark.operators.spell import build_spell_index
+
+    idx = tmp_path / "idx"
+    (idx / "dictionary").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"term": ["spark", "spork"], "df": pa.array([3, 1], pa.int64())}),
+        str(idx / "dictionary" / "part-0.parquet"),
+    )
+    class _AutoConf:
+        def __init__(self, real):
+            self._real = real
+
+        def get(self, key, default=None):
+            if key == "spark.sql.shuffle.partitions":
+                return "auto"
+            return self._real.get(key, default)
+
+    class _Proxy:
+        def __init__(self, s):
+            self._s = s
+            self.conf = _AutoConf(s.conf)
+
+        def __getattr__(self, name):
+            return getattr(self._s, name)
+
+    out = build_spell_index(_Proxy(spark), str(idx))
+    assert spark.read.parquet(out).count() > 0
