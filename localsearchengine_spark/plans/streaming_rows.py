@@ -200,6 +200,128 @@ def st04(spark, sf_dir):
     )
 
 
+_ST06_BAND_MIN = 30  # join band: |ts_a - ts_b| ≤ 30 minutes
+_ST06_A_TYPES = ("click", "view")
+_ST06_B_TYPES = ("purchase", "signup", "error")
+
+
+def _stage_events_two_streams(sf_dir: str, n_batches: int = 3) -> tuple[str, str]:
+    """Split the events table into TWO drop directories (side A = click/view,
+    side B = purchase/signup/error), each staged as ``n_batches`` ts-ordered
+    parquet files cut at the SAME timestamp boundaries with strictly
+    increasing mtimes.  With ``maxFilesPerTrigger=1`` on both sources each
+    micro-batch advances both streams through the same time range, so
+    (a) matches straddle batch boundaries (a side-A row near a cut joins a
+    side-B row delivered one batch later — the cross-batch join state the
+    operator exists for), and (b) a watermark delay ≥ the join band
+    guarantees no state needed for a future match is evicted."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from localsearchengine_spark.plans.entry_helpers import _workdir
+
+    drop_a = _workdir("lse_evjoina_")
+    drop_b = _workdir("lse_evjoinb_")
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+    n = tbl.num_rows
+    cuts = [n * i // n_batches for i in range(n_batches + 1)]
+    now = time.time()
+    for i in range(n_batches):
+        part = tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
+        for drop, types in ((drop_a, _ST06_A_TYPES), (drop_b, _ST06_B_TYPES)):
+            path = os.path.join(drop, f"b{i}.parquet")
+            pq.write_table(
+                part.filter(pc.is_in(part["event_type"], pa_values(types))), path
+            )
+            os.utime(path, (now + i, now + i))
+    return drop_a, drop_b
+
+
+def pa_values(vals):
+    import pyarrow as pa
+
+    return pa.array(list(vals), pa.string())
+
+
+def interval_join_streams(
+    a, b, *, band_minutes: int, watermark: str
+):
+    """A28e — watermarked stream-stream interval INNER join, the canonical
+    stateful two-stream operator: both sides buffer rows in the state store;
+    the time-band join condition plus the two watermarks bound that state
+    (a buffered row is evicted once the watermark passes its timestamp + the
+    band — without the band the state would grow with the stream).  Side A
+    columns arrive prefixed a_, side B b_, sharing ``user_id``."""
+    a = a.select(
+        F.col("event_id").alias("a_event_id"),
+        "user_id",
+        F.col("event_type").alias("a_type"),
+        F.col("value").alias("a_value"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    b = b.select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("value").alias("b_value"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    cond = F.expr(
+        f"user_id = b_user_id AND b_ts BETWEEN "
+        f"a_ts - INTERVAL {band_minutes} MINUTES AND "
+        f"a_ts + INTERVAL {band_minutes} MINUTES"
+    )
+    return a.join(b, cond, "inner")
+
+
+@q(
+    "st06_stream_stream_interval_join",
+    f"""WITH a AS (SELECT * FROM events
+                   WHERE event_type IN ('click', 'view')),
+            b AS (SELECT * FROM events
+                   WHERE event_type IN ('purchase', 'signup', 'error'))
+       SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,
+              a.event_type AS a_type, b.event_type AS b_type,
+              round(a.value, 2) AS a_value, round(b.value, 2) AS b_value,
+              epoch_us(a.ts) AS a_ts_us, epoch_us(b.ts) AS b_ts_us
+       FROM a JOIN b ON a.user_id = b.user_id
+        AND b.ts BETWEEN a.ts - INTERVAL {_ST06_BAND_MIN} MINUTE
+                     AND a.ts + INTERVAL {_ST06_BAND_MIN} MINUTE""",
+)
+def st06(spark, sf_dir):
+    """A28e behind the batch oracle: click/view events stream-stream-join
+    purchase/signup/error events of the same user within ±30 minutes.  The
+    ts-aligned three-batch staging makes matches span micro-batch
+    boundaries, so the append-mode output equals the batch interval join
+    over the whole table ONLY if cross-batch join state works; the 2-hour
+    watermark (≥ band + one slice of cross-source skew) guarantees no
+    state needed for a pending match is evicted, so the equality is exact.
+    Watermark EVICTION semantics (a too-late match is dropped) are pinned
+    deterministically in tests/test_streaming_analytics.py, not behind the
+    oracle — a dropped row is invisible to batch SQL by construction."""
+    drop_a, drop_b = _stage_events_two_streams(sf_dir)
+    joined = interval_join_streams(
+        stream_events(spark, drop_a, max_files_per_trigger=1),
+        stream_events(spark, drop_b, max_files_per_trigger=1),
+        band_minutes=_ST06_BAND_MIN,
+        watermark="2 hours",
+    )
+    tbl = run_available_now(joined, output_mode="append")
+    return spark.table(tbl).select(
+        "user_id",
+        "a_event_id",
+        "b_event_id",
+        "a_type",
+        "b_type",
+        F.round("a_value", 2).alias("a_value"),
+        F.round("b_value", 2).alias("b_value"),
+        F.unix_micros("a_ts").alias("a_ts_us"),
+        F.unix_micros("b_ts").alias("b_ts_us"),
+    )
+
+
 @q(
     "st05_stream_static_join",
     """SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey, c.c_mktsegment,

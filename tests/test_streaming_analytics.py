@@ -201,3 +201,56 @@ def test_st03_multibatch_staging_and_final_state(spark):
     got = {r["user_id"]: tuple(r) for r in final.collect()}
     exp = {r["user_id"]: tuple(r) for r in batch.collect()}
     assert got == exp
+
+
+def test_interval_join_matches_across_batches_and_drops_late(spark, tmp_path):
+    """A28e stream-stream interval join, the two multi-batch properties:
+
+    1. cross-batch state: an A-side row buffered in batch 1 joins a B-side
+       row that only arrives in batch 2;
+    2. watermark EVICTION: once the watermark has passed a buffered row's
+       timestamp + the join band, that row leaves the state store — a
+       matching row arriving in a LATER batch finds nothing to join and the
+       match is never emitted.  (The drop is asserted one full batch after
+       the watermark advance: within the advancing batch itself, late-input
+       filtering for inner joins is best-effort in Spark — the watermark
+       update lags the batch that carried the advancing event times.)
+    """
+    from localsearchengine_spark.streaming.analytics import stream_events
+    from localsearchengine_spark.plans.streaming_rows import interval_join_streams
+
+    a_drop = _write_batches(
+        tmp_path / "a",
+        [
+            _events([(1, "2024-01-01 10:00:00", 7, "click", 1.0)]),
+            _events([(2, "2024-01-01 20:00:00", 8, "click", 1.0)]),  # advances wm
+            _events([(3, "2024-01-01 20:00:01", 8, "click", 1.0)]),
+            _events([(4, "2024-01-01 20:00:02", 8, "click", 1.0)]),
+        ],
+    )
+    b_drop = _write_batches(
+        tmp_path / "b",
+        [
+            _events([(101, "2024-01-01 20:00:00", 9, "purchase", 5.0)]),
+            _events([(102, "2024-01-01 10:10:00", 7, "purchase", 5.0)]),  # on time
+            _events([(103, "2024-01-01 20:00:03", 9, "purchase", 5.0)]),
+            # would match event 1, but arrives two batches after both sides'
+            # event time passed 20:00 → watermark 19:59 evicted event 1
+            # (10:00 + 30 min band < 19:59) at the previous batch boundary
+            _events([(104, "2024-01-01 10:05:00", 7, "purchase", 5.0)]),
+        ],
+    )
+    joined = interval_join_streams(
+        stream_events(spark, a_drop, max_files_per_trigger=1),
+        stream_events(spark, b_drop, max_files_per_trigger=1),
+        band_minutes=30,
+        watermark="1 minute",
+    )
+    tbl = run_available_now(joined, output_mode="append")
+    got = {
+        (r["a_event_id"], r["b_event_id"])
+        for r in spark.table(tbl).collect()
+    }
+    # batch SQL over the same rows would also pair (1, 104); the stream must
+    # emit the cross-batch on-time match and miss the post-eviction one
+    assert got == {(1, 102)}
