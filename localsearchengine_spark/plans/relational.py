@@ -2268,6 +2268,65 @@ def b33(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# B34 — GROUPED_AGG pandas UDAF (the series→scalar Arrow aggregation form,
+# completing B18's three pandas-UDF legs: scalar b19, grouped-map b18,
+# grouped-agg here): per event_type, a user-weighted average of the event
+# value.  Cross-engine exactness: the value is quantized to integer cents
+# with floor(value·100 + 0.5) — IEEE double mul/add/floor, bit-identical in
+# NumPy and DuckDB — so both UDAF sums are exact int64 arithmetic (order-
+# free) and the single float division of two identical integers rounds
+# identically.  Built-in aggregates cannot mix with GROUPED_AGG UDAFs in
+# one agg(), so the row count is a third one-liner UDAF.  Shape for 100 TB:
+# grouped-agg pandas UDFs get Arrow-batched partial aggregation per
+# partition only for the final exchange of ≤|event_type| groups — but the
+# full rows DO shuffle to the group (no map-side combine, unlike built-in
+# aggs); acceptable here because the group count is tiny and the point of
+# the row is the UDAF surface — for a plain weighted mean the b06-style
+# built-in form is the production pick.
+# ---------------------------------------------------------------------------
+@q(
+    "b34_grouped_agg_udaf",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * user_id)
+                         AS DOUBLE)
+                    / CAST(sum(user_id) AS DOUBLE), 6) AS wavg_cents
+       FROM events GROUP BY event_type""",
+)
+def b34(spark, sf_dir):
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def wsum_cents(v: pd.Series, u: pd.Series) -> int:
+        cents = np.floor(v.to_numpy(dtype="float64") * 100.0 + 0.5).astype("int64")
+        return int((cents * u.to_numpy(dtype="int64")).sum())
+
+    @F.pandas_udf("long")
+    def lsum(u: pd.Series) -> int:
+        return int(u.to_numpy(dtype="int64").sum())
+
+    @F.pandas_udf("long")
+    def lcount(u: pd.Series) -> int:
+        return len(u)
+
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            lcount("user_id").alias("n"),
+            wsum_cents("value", "user_id").alias("ws"),
+            lsum("user_id").alias("us"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("ws").cast("double") / F.col("us").cast("double"), 6)
+            .alias("wavg_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline surface (dedup / ANN / text analysis / multimodal)
 # registers itself into SPARK_QUERIES / ORACLE_SQL on import.
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.
@@ -2284,67 +2343,40 @@ from localsearchengine_spark.plans import (  # noqa: E402,F401
 # the FIRST 50 entries of queries() in registration order (verified round 3:
 # CORRECTNESS_r03 keys == list(queries())[:50]).  With >50 registered rows,
 # registration order is the only lever for which operators get a driver-green
-# CORRECTNESS row, so we explicitly front-load (a) rows never driver-verified
-# in any round, (b) rows last verified in round 2, (c) the core fts engine
-# rows; long-green Part-B relational rows rotate past the cap this round
-# (every row regardless of position stays covered by the local value-exact
-# oracle replica in tests/test_partb_oracle.py).
+# CORRECTNESS row.
+#
+# ROTATION POLICY (SURVEY.md §2 records the same rule): each round the window
+# is (1) every row NEVER driver-verified in any CORRECTNESS_r*.json, oldest
+# first, then (2) the stalest greens — rows whose last green row is the most
+# rounds back — prioritizing the core fts engine rows (the north-rule
+# surface) over long-green relational rows when slots run out.  No row is
+# ever registered red: before entering the window a row must pass the local
+# cell-exact replica (tests/test_partb_oracle.py) at the driver's sf0.01.
+# Rows past the cap stay covered by that replica every test run.
+#
+# Round-5 window: slots 1-12 are round 4's late-registered tail (never
+# driver-verified), 13-14 this round's new rows, 15-50 the stalest greens
+# (last green in CORRECTNESS_r03: the fts engine set + core relational).
 # ---------------------------------------------------------------------------
 _DRIVER_CHECK_PRIORITY: list[str] = [
-    # round-4 additions (never checked, by construction)
-    "st03_stream_multibatch_state",
-    "fts23_suggest_prefix",
-    "fts24_more_like_this",
-    "b27_latest_event_upsert",
-    "b28_bucketed_join_colocated",
-    "sk03_heavyhitters_exact",
-    "tx12_token_chunks",
-    "samp03_train_val_test_split",
-    "tr01_conversation_stats",
-    "tr02_context_response_pairs",
-    "fts25_spell_correct",
-    "b29_salted_skew_join",
-    "b30_cube_grouping_sets",
-    "samp04_sequence_packing",
-    "sim04_kmeans_lloyd",
-    "st04_stream_dedup",
-    "fts26_synonym_dismax",
-    "b31_window_distribution",
-    "tx13_bigram_logprob",
-    "tr03_sft_dataset",
-    # never driver-verified in rounds 1-3 (fell past the 50-row cap)
-    "b24_sessionize",
-    "b25_pivot",
-    "b26_range_join_banded",
-    "st01_stream_windowed_agg",
-    "st02_stream_stateful_sessions",
-    "tx04_decontamination",
-    "tx05_winnowing",
-    "tx06_bpe_token_count",
-    "tx07_unigram_logprob",
-    "tx08_repetition_metrics",
-    "tx10_collocations_pmi",
-    "tx11_tfidf_keywords",
-    "dd08_canonical_docs",
-    "dd09_simhash_pairs",
-    "dd10_repeated_spans",
-    "sim03_ann_ivf",
-    "samp01_stratified_sample",
-    "samp02_weighted_sample",
-    "sk01_countmin_freq",
-    "sk02_hll_distinct",
-    # hash-green in round 2 only (dropped from the r03 window)
-    "dd03_minhash_lsh",
-    "dd04_simhash",
-    "dd05_ngram_jaccard",
-    "dd06_embedding_neardup",
-    "dd07_duplicate_clusters",
-    "sim02_ann_lsh",
-    "tx02_language_id",
-    "tx03_positional_fingerprint",
-    "mm01_multimodal_decode",
-    "mm02_frame_sample",
-    # core fts engine rows (r03-green; keep the engine under the driver gate)
+    # (1) never driver-verified: round-4 late tail, in registration order
+    "fts27_fuzzy_search",
+    "samp05_temperature_mixing",
+    "tx14_pii_redaction",
+    "dd11_boilerplate_lines",
+    "tr04_context_window_packing",
+    "b32_correlated_subquery",
+    "sim05_mmr_rerank",
+    "b33_window_time_range",
+    "tx15_text_normalize",
+    "st05_stream_static_join",
+    "sk04_bloom_semijoin",
+    "tr05_role_transitions",
+    # (1) never driver-verified: round-5 additions
+    "st06_stream_stream_interval_join",
+    "b34_grouped_agg_udaf",
+    # (2) stalest greens — last green in CORRECTNESS_r03, never red:
+    # the core fts engine rows (the north-rule BM25 surface) ...
     "fts01_engine_bm25_topk",
     "fts02_engine_wand_or",
     "fts03_engine_and3",
@@ -2367,6 +2399,21 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "fts20_hybrid_rrf",
     "fts21_engine_boost",
     "fts22_engine_proximity",
+    # ... then core relational / pipeline rows (also r03-green)
+    "b01_scan_filter_project",
+    "b02_join_broadcast_agg",
+    "b03_join_large_agg",
+    "b06_agg_tpch_q1",
+    "b11_orderby_topk",
+    "b18_grouped_map_zscore",
+    "b19_pandas_udf_token_count",
+    "b20_bm25_sql_dataframe",
+    "b22_percentiles",
+    "b23_asof_join",
+    "dd01_exact_dedup_stats",
+    "dd02_fingerprint",
+    "sim01_cosine_topk",
+    "tx01_quality_metrics",
 ]
 
 

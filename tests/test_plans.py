@@ -145,3 +145,14 @@ def test_b33_range_frame_in_plan(spark):
     plan = plan_of(SPARK_QUERIES["b33_window_time_range"](spark, SF_DIR))
     assert "RangeFrame" in plan, plan
     assert plan.count("Exchange") <= 2  # one hash partitioning (+AQE read)
+
+
+def test_b34_grouped_agg_is_arrow_udaf(spark):
+    """The B18 GROUPED_AGG leg must execute as the Arrow-batched pandas
+    aggregate (one exchange on the ≤5 event_type keys), not fall back to
+    row-at-a-time Python evaluation."""
+    plan = plan_of(SPARK_QUERIES["b34_grouped_agg_udaf"](spark, SF_DIR))
+    # Spark 4 names the Arrow grouped-agg node ArrowAggregatePython
+    # (AggregateInPandas in 3.x)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "BatchEvalPython" not in plan
