@@ -163,21 +163,33 @@ def _build_child(
     build_index(spark, warm_src, warm_dir, conf)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # Per-rep self-certification (same contract as the query benches): every
+    # rep records wall seconds, process-tree CPU seconds, and the max host
+    # 1-min load around it, so an artifact excursion under co-tenant load is
+    # distinguishable from an engine regression without a re-run.
     best, best_cpu = None, None
+    rep_detail: list[dict] = []
     for _ in range(reps):
         idx_dir = keep_idx or tempfile.mkdtemp(prefix="lse_bench_idx_", dir=BENCH_TMP)
         if os.path.isdir(idx_dir) and os.listdir(idx_dir):
             shutil.rmtree(idx_dir)
             os.makedirs(idx_dir)
+        l0 = os.getloadavg()[0]
         c0, t0 = _cpu_s(), time.time()
         build_index(spark, src, idx_dir, conf)
         elapsed = time.time() - t0
+        rep_cpu = _cpu_s() - c0
+        rep_detail.append({
+            "wall_s": round(elapsed, 3),
+            "cpu_s": round(rep_cpu, 1),
+            "load1": round(max(l0, os.getloadavg()[0]), 1),
+        })
         if best is None or elapsed < best:
-            best, best_cpu = elapsed, _cpu_s() - c0
+            best, best_cpu = elapsed, rep_cpu
         if not keep_idx:
             shutil.rmtree(idx_dir, ignore_errors=True)
     print(json.dumps({"build_s": round(best, 3), "cpu_s": round(best_cpu, 1),
-                      "turns": n_turns}))
+                      "turns": n_turns, "reps": rep_detail}))
 
 
 def main() -> None:
@@ -211,6 +223,8 @@ def main() -> None:
     # metadata IO) dominates a local[32] wall of a few seconds and the
     # throughput number measures overhead, not the engine.  The query index
     # over the sf corpus is built untimed below.
+    build_detail: dict[str, dict] = {}
+
     def _run_child(master, bsrc, bn, keep, reps):
         out = subprocess.run(
             [sys.executable, __file__, "--build-child", master, bsrc, str(bn), keep, str(reps)],
@@ -221,8 +235,17 @@ def main() -> None:
         )
         child = json.loads(out.stdout.strip().splitlines()[-1])
         t, c = child["build_s"], child.get("cpu_s", 0.0)
+        d = build_detail.setdefault(
+            master, {"reps": [], "cpu_s_best": c, "load1_best": None}
+        )
+        d["reps"].extend(child.get("reps", []))
         if master not in builds or t < builds[master]:
             builds[master], cpu[master] = t, c
+            d["cpu_s_best"] = c
+            best_reps = [r for r in child.get("reps", [])
+                         if r["wall_s"] == round(t, 3)]
+            if best_reps:
+                d["load1_best"] = best_reps[0]["load1"]
     # The N/4N pair runs INTERLEAVED (N,4N, N,4N, ...) rather than all reps
     # of one level then the other: the host is shared, and a co-tenant load
     # spike confined to one level's contiguous phase skews the RATIO both
@@ -329,6 +352,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "query_bench_detail": query_detail,
+                # per-rep wall/CPU/load for every build leg (round-4 verdict
+                # #3): the build legs self-certify exactly like the query
+                # benches, keyed build_local1/4/<CPUS>
+                "build_bench_detail": {
+                    m.replace("local[", "build_local").rstrip("]"): d
+                    for m, d in build_detail.items()
+                },
                 "sf": sf,
                 "throughput": {
                     "n_turns": n_turns,
