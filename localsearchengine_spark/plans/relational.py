@@ -2375,6 +2375,7 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     # (1) never driver-verified: round-5 additions
     "st06_stream_stream_interval_join",
     "b34_grouped_agg_udaf",
+    "st07_stream_stream_outer_join",
     # (2) stalest greens — last green in CORRECTNESS_r03, never red:
     # the core fts engine rows (the north-rule BM25 surface) ...
     "fts01_engine_bm25_topk",
@@ -2413,7 +2414,6 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "dd01_exact_dedup_stats",
     "dd02_fingerprint",
     "sim01_cosine_topk",
-    "tx01_quality_metrics",
 ]
 
 

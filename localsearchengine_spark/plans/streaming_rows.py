@@ -245,8 +245,51 @@ def pa_values(vals):
     return pa.array(list(vals), pa.string())
 
 
+def _append_advancer_batches(
+    drop_a: str, drop_b: str, sf_dir: str, start_batch: int, n_pairs: int = 2
+) -> None:
+    """Append ``n_pairs`` extra single-row batches to BOTH drop directories:
+    pair j is one A-side and one B-side row at max(real ts) + (j+1) days,
+    user_id = -1, matching each other exactly (Δts = 0).  Purpose: OUTER
+    stream-stream join results for unmatched rows are emitted only when the
+    watermark passes their state-eviction point — a stream that simply ends
+    never flushes them.  The first advancer batch carries the watermark past
+    every real event; the second batch triggers the eviction pass that uses
+    it (watermark updates lag one batch).  The advancers themselves join
+    each other (never a real row: user_id -1), so they add no outer-null
+    rows and are filtered from the result by user_id >= 0."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    max_ts = pc.max(tbl["ts"]).as_py()
+    now = time.time()
+    for j in range(n_pairs):
+        ts = max_ts + datetime.timedelta(days=j + 1)
+        for drop, etype, eid in (
+            (drop_a, "click", 1_000_000_000 + j),
+            (drop_b, "purchase", 2_000_000_000 + j),
+        ):
+            row = pa.table(
+                {
+                    "event_id": pa.array([eid], pa.int64()),
+                    "ts": pa.array([ts], tbl.schema.field("ts").type),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array([etype], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ).select([f.name for f in tbl.schema])
+            path = os.path.join(drop, f"b{start_batch + j}.parquet")
+            pq.write_table(row.cast(tbl.schema), path)
+            os.utime(path, (now + start_batch + j, now + start_batch + j))
+
+
 def interval_join_streams(
-    a, b, *, band_minutes: int, watermark: str
+    a, b, *, band_minutes: int, watermark: str, join_type: str = "inner"
 ):
     """A28e — watermarked stream-stream interval INNER join, the canonical
     stateful two-stream operator: both sides buffer rows in the state store;
@@ -273,7 +316,7 @@ def interval_join_streams(
         f"a_ts - INTERVAL {band_minutes} MINUTES AND "
         f"a_ts + INTERVAL {band_minutes} MINUTES"
     )
-    return a.join(b, cond, "inner")
+    return a.join(b, cond, join_type)
 
 
 @q(
@@ -319,6 +362,62 @@ def st06(spark, sf_dir):
         F.round("b_value", 2).alias("b_value"),
         F.unix_micros("a_ts").alias("a_ts_us"),
         F.unix_micros("b_ts").alias("b_ts_us"),
+    )
+
+
+@q(
+    "st07_stream_stream_outer_join",
+    f"""WITH a AS (SELECT * FROM events
+                   WHERE event_type IN ('click', 'view')),
+            b AS (SELECT * FROM events
+                   WHERE event_type IN ('purchase', 'signup', 'error'))
+       SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,
+              a.event_type AS a_type, b.event_type AS b_type,
+              round(a.value, 2) AS a_value, round(b.value, 2) AS b_value,
+              epoch_us(a.ts) AS a_ts_us, epoch_us(b.ts) AS b_ts_us
+       FROM a LEFT JOIN b ON a.user_id = b.user_id
+        AND b.ts BETWEEN a.ts - INTERVAL {_ST06_BAND_MIN} MINUTE
+                     AND a.ts + INTERVAL {_ST06_BAND_MIN} MINUTE""",
+)
+def st07(spark, sf_dir):
+    """A28f — watermarked stream-stream LEFT OUTER interval join: same two
+    event streams and ±30-minute band as st06, but an unmatched left row
+    must emit with nulls — which in a stream can only happen when the
+    WATERMARK passes the row's eviction point (state watermark = left ts +
+    band), never at end-of-input: Structured Streaming has no "stream
+    closed" signal, so a finite run that just stops would silently swallow
+    every pending outer row.  Two advancer batches at max(ts)+1d/+2d
+    (user_id −1, matching only each other — Δts = 0) force that flush: the
+    first carries both sides' event time past every real row, the second
+    runs the eviction pass with the (one-batch-lagged) updated watermark.
+    Advancers are dropped from the result (user_id ≥ 0), so append-mode
+    output equals the batch LEFT interval join over the real events — the
+    matched pairs exactly as st06 plus every never-matched click/view row
+    with null b_* columns (full hash)."""
+    drop_a, drop_b = _stage_events_two_streams(sf_dir)
+    _append_advancer_batches(drop_a, drop_b, sf_dir, start_batch=3, n_pairs=2)
+    joined = interval_join_streams(
+        stream_events(spark, drop_a, max_files_per_trigger=1),
+        stream_events(spark, drop_b, max_files_per_trigger=1),
+        band_minutes=_ST06_BAND_MIN,
+        watermark="2 hours",
+        join_type="left_outer",
+    )
+    tbl = run_available_now(joined, output_mode="append")
+    return (
+        spark.table(tbl)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "a_event_id",
+            "b_event_id",
+            "a_type",
+            "b_type",
+            F.round("a_value", 2).alias("a_value"),
+            F.round("b_value", 2).alias("b_value"),
+            F.unix_micros("a_ts").alias("a_ts_us"),
+            F.unix_micros("b_ts").alias("b_ts_us"),
+        )
     )
 
 

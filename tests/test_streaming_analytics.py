@@ -254,3 +254,41 @@ def test_interval_join_matches_across_batches_and_drops_late(spark, tmp_path):
     # batch SQL over the same rows would also pair (1, 104); the stream must
     # emit the cross-batch on-time match and miss the post-eviction one
     assert got == {(1, 102)}
+
+
+def test_outer_join_needs_watermark_advance_to_flush_nulls(spark, tmp_path):
+    """A28f left-outer stream-stream join: an unmatched left row emits its
+    null-padded result only when the watermark passes its eviction point —
+    a stream that merely ENDS never flushes it (no end-of-stream signal).
+    Without an advancer batch the unmatched row is swallowed; with one
+    advancer pair + one trigger batch it appears.  This pins exactly why
+    st07's staging appends the two advancer batches."""
+    from localsearchengine_spark.plans.streaming_rows import interval_join_streams
+    from localsearchengine_spark.streaming.analytics import stream_events
+
+    def _run(with_advancers: bool, sub: str):
+        a_batches = [_events([(1, "2024-01-01 10:00:00", 7, "click", 1.0)])]
+        b_batches = [_events([(101, "2024-01-01 10:01:00", 8, "purchase", 2.0)])]
+        if with_advancers:
+            for j, ts in enumerate(["2024-01-02 10:00:00", "2024-01-03 10:00:00"]):
+                a_batches.append(_events([(1000 + j, ts, -1, "click", 0.0)]))
+                b_batches.append(_events([(2000 + j, ts, -1, "purchase", 0.0)]))
+        joined = interval_join_streams(
+            stream_events(spark, _write_batches(tmp_path / f"a{sub}", a_batches),
+                          max_files_per_trigger=1),
+            stream_events(spark, _write_batches(tmp_path / f"b{sub}", b_batches),
+                          max_files_per_trigger=1),
+            band_minutes=30,
+            watermark="1 minute",
+            join_type="left_outer",
+        )
+        tbl = run_available_now(joined, output_mode="append")
+        return {
+            (r["a_event_id"], r["b_event_id"])
+            for r in spark.table(tbl).filter("user_id >= 0").collect()
+        }
+
+    # event 1 (user 7) never matches event 101 (user 8): its outer row
+    # exists only in the advancer run
+    assert _run(False, "0") == set()
+    assert _run(True, "1") == {(1, None)}
