@@ -560,3 +560,47 @@ def tx15(spark, sf_dir):
         F.md5(norm(m)).alias("norm_hash"),
         F.when(norm(m) == norm(text), 1).otherwise(0).cast("long").alias("idempotent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TX16 — Zipf rank-frequency head: the top-{_TX16_K} corpus terms with
+# their rank, count, and corpus share — the first plot anyone makes over a
+# new corpus's token statistics (Zipf 1949; a head that deviates from the
+# expected rank⁻¹ decay usually means boilerplate or tokenizer bugs, cf.
+# dd11).  RANK is decided by the integer pair (count desc, token asc) —
+# no float ever orders rows; the share is a rounded value column.
+# Shape for 100 TB: term counts are ONE map-side-combined hash aggregate;
+# the top-k is orderBy(...).limit(k) — Spark's TakeOrderedAndProject, a
+# distributed per-partition top-k + driver merge of k·P rows, never a
+# global sort of the (web-scale: billions-of-terms) vocabulary; only the
+# k surviving rows touch the final unpartitioned rank window.
+# ---------------------------------------------------------------------------
+_TX16_K = 30
+
+
+@q(
+    "tx16_zipf_topk",
+    f"""WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+           tok, cnt, round(cnt / tot.n, 6) AS frac
+    FROM uni CROSS JOIN tot
+    ORDER BY cnt DESC, tok LIMIT {_TX16_K}""",
+)
+def tx16(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").cast("double").alias("n"))
+    topk = uni.orderBy(F.desc("cnt"), F.asc("tok")).limit(_TX16_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))  # over k rows only
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "tok", "cnt", F.round(F.col("cnt") / F.col("n"), 6).alias("frac"))
+    )

@@ -2376,6 +2376,9 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "st06_stream_stream_interval_join",
     "b34_grouped_agg_udaf",
     "st07_stream_stream_outer_join",
+    "tx16_zipf_topk",
+    "samp06_fixed_sample",
+    "tr06_role_token_stats",
     # (2) stalest greens — last green in CORRECTNESS_r03, never red:
     # the core fts engine rows (the north-rule BM25 surface) ...
     "fts01_engine_bm25_topk",
@@ -2405,11 +2408,8 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "b02_join_broadcast_agg",
     "b03_join_large_agg",
     "b06_agg_tpch_q1",
-    "b11_orderby_topk",
-    "b18_grouped_map_zscore",
     "b19_pandas_udf_token_count",
     "b20_bm25_sql_dataframe",
-    "b22_percentiles",
     "b23_asof_join",
     "dd01_exact_dedup_stats",
     "dd02_fingerprint",

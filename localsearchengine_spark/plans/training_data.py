@@ -2461,3 +2461,41 @@ def tx13(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SAMP6 — deterministic fixed-size uniform sample: exactly {_SAMP06_N}
+# documents chosen by the smallest md5-derived 60-bit keys — the
+# reproducible stand-in for reservoir sampling (fixed eval budgets, spot
+# audits).  The key is a pure function of doc_id, so the sample is stable
+# under reruns, repartitioning, AND incremental growth: a doc already in
+# the sample leaves only when a new doc with a smaller key arrives —
+# exactly bottom-k-of-hash semantics (the same trick as KMV distinct
+# sketches).  Shape for 100 TB: orderBy(key).limit(N) is Spark's
+# TakeOrderedAndProject — per-partition top-N then a driver merge of N·P
+# rows; the corpus is never globally sorted.  Decision key integer-exact
+# via the repo's md5 portability contract; doc_id breaks (impossible at
+# 60 bits, but deterministic) ties.
+# ---------------------------------------------------------------------------
+_SAMP06_N = 200
+
+
+@q(
+    "samp06_fixed_sample",
+    f"""SELECT doc_id,
+              CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS skey
+       FROM documents
+       ORDER BY skey, doc_id LIMIT {_SAMP06_N}""",
+)
+def samp06(spark, sf_dir):
+    skey = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", skey.alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(_SAMP06_N)
+    )

@@ -417,3 +417,46 @@ def tr05(spark, sf_dir):
         .groupBy("prev_role", F.col("role").alias("next_role"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TR6 — role-conditioned token statistics: per (conversation, role), turn
+# count, total tokens, and mean tokens per turn — the balance check a
+# transcript pipeline runs before training (a conversation whose assistant
+# turns carry 10× the user tokens is a formatting bug or a data-quality
+# outlier; per-role budgets also drive the tr04 packing and tr02 context
+# limits).  ONE map-side-combined hash aggregate on (conv_id, role) — at
+# production layout (conv-bucketed, b28) the exchange elides.  Counts and
+# token sums are exact integers; the mean is the single float division of
+# two identical integers, rounded — never a rank key.
+# ---------------------------------------------------------------------------
+_TR06_SQL = f"""
+WITH t AS ({_TRANSCRIPTS_SQL})
+SELECT conv_id, role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6)
+         AS avg_tokens
+FROM t GROUP BY conv_id, role
+"""
+
+
+@q("tr06_role_token_stats", _TR06_SQL)
+def tr06(spark, sf_dir):
+    t = derived_transcripts(spark, sf_dir)
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        t.groupBy("conv_id", "role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(ntok).cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "conv_id",
+            "role",
+            "n_turns",
+            "sum_tokens",
+            F.round(F.col("sum_tokens").cast("double") / F.col("n_turns"), 6)
+            .alias("avg_tokens"),
+        )
+    )
