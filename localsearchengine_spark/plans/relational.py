@@ -2332,6 +2332,7 @@ def b34(spark, sf_dir):
 # Structured-Streaming analytics rows (st01/st02/st03) likewise.
 # ---------------------------------------------------------------------------
 from localsearchengine_spark.plans import (  # noqa: E402,F401
+    pipeline,
     quality,
     streaming_rows,
     training_data,
@@ -2379,6 +2380,7 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "tx16_zipf_topk",
     "samp06_fixed_sample",
     "tr06_role_token_stats",
+    "pp01_pretrain_pipeline",
     # (2) stalest greens — last green in CORRECTNESS_r03, never red:
     # the core fts engine rows (the north-rule BM25 surface) ...
     "fts01_engine_bm25_topk",
@@ -2410,7 +2412,6 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "b06_agg_tpch_q1",
     "b19_pandas_udf_token_count",
     "b20_bm25_sql_dataframe",
-    "b23_asof_join",
     "dd01_exact_dedup_stats",
     "dd02_fingerprint",
     "sim01_cosine_topk",
