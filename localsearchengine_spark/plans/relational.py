@@ -2381,6 +2381,7 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "samp06_fixed_sample",
     "tr06_role_token_stats",
     "pp01_pretrain_pipeline",
+    "st08_stream_session_window",
     # (2) stalest greens — last green in CORRECTNESS_r03, never red:
     # the core fts engine rows (the north-rule BM25 surface) ...
     "fts01_engine_bm25_topk",
@@ -2414,7 +2415,6 @@ _DRIVER_CHECK_PRIORITY: list[str] = [
     "b20_bm25_sql_dataframe",
     "dd01_exact_dedup_stats",
     "dd02_fingerprint",
-    "sim01_cosine_topk",
 ]
 
 

@@ -365,6 +365,123 @@ def st06(spark, sf_dir):
     )
 
 
+def _stage_events_multibatch_ts(sf_dir: str, n_batches: int = 3) -> str:
+    """Like :func:`_stage_events_multibatch` but TS-ordered: three drops cut
+    at timestamp boundaries, so sessions span the cuts (per-user state must
+    accumulate across micro-batches) and every key's events arrive in event-
+    time order."""
+    import pyarrow.parquet as pq
+
+    from localsearchengine_spark.plans.entry_helpers import _workdir
+
+    drop = _workdir("lse_evdropts_")
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+    n = tbl.num_rows
+    cuts = [n * i // n_batches for i in range(n_batches + 1)]
+    now = time.time()
+    for i in range(n_batches):
+        path = os.path.join(drop, f"b{i}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (now + i, now + i))
+    return drop
+
+
+def _append_watermark_advancers(
+    drop: str, sf_dir: str, start_batch: int, n_pairs: int = 2
+) -> None:
+    """Single-stream variant of the st07 advancer trick: append ``n_pairs``
+    one-row batches at max(real ts) + 40/80 days (user_id −1, filtered from
+    results) — the first carries the watermark past every real session's
+    close point, the second runs the eviction/emission pass that uses the
+    one-batch-lagged watermark.  Required because session windows stream in
+    APPEND mode only: a session is emitted when the watermark passes its
+    end + gap, never at end-of-input."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    max_ts = pc.max(tbl["ts"]).as_py()
+    now = time.time()
+    for j in range(n_pairs):
+        ts = max_ts + datetime.timedelta(days=40 * (j + 1))
+        row = pa.table(
+            {
+                "event_id": pa.array([3_000_000_000 + j], pa.int64()),
+                "ts": pa.array([ts], tbl.schema.field("ts").type),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["click"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ).select([f.name for f in tbl.schema])
+        path = os.path.join(drop, f"b{start_batch + j}.parquet")
+        pq.write_table(row.cast(tbl.schema), path)
+        os.utime(path, (now + start_batch + j, now + start_batch + j))
+
+
+_ST08_GAP_US = 6 * 3600 * 1_000_000  # 6-hour inactivity gap (b24's constant)
+
+
+@q(
+    "st08_stream_session_window",
+    f"""WITH e AS (SELECT user_id, value, epoch_us(ts) AS t FROM events),
+    d AS (SELECT user_id, value, t,
+           CASE WHEN lag(t) OVER w IS NULL
+                  OR t - lag(t) OVER w > {_ST08_GAP_US} THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM d)
+    SELECT user_id, min(t) AS start_us, max(t) + {_ST08_GAP_US} AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid""",
+)
+def st08(spark, sf_dir):
+    """A27b — native ``session_window`` streaming aggregation (Spark 3.2+):
+    per-user sessions closed by a 6-hour inactivity gap, the dynamic-window
+    sibling of st01's fixed tumbling windows.  Session state MERGES across
+    micro-batches (the ts-ordered three-batch staging makes sessions span
+    the cuts) and sessions stream in APPEND mode only: a session emits when
+    the watermark passes its end + gap, never at end-of-input — so the st07
+    advancer trick closes the books (two far-future user −1 batches,
+    filtered from the result).  Append output over the real users then
+    equals batch gaps-and-islands sessionization (b24's shape) exactly:
+    same session boundaries (Spark's merge bound is INCLUSIVE — an
+    inter-event gap exactly equal to 6 h still merges, pinned in tests —
+    hence the oracle's strict ``>``, the same operator b24 uses), same
+    integer counts, same rounded sums.  Watermark
+    delay 1 h: no real event is ever late (in-order staging), and the
+    advancer closes every real session."""
+    drop = _stage_events_multibatch_ts(sf_dir)
+    _append_watermark_advancers(drop, sf_dir, start_batch=3, n_pairs=2)
+    ev = stream_events(spark, drop, max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    tbl = run_available_now(agg, output_mode="append")
+    return (
+        spark.table(tbl)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
+
+
 @q(
     "st07_stream_stream_outer_join",
     f"""WITH a AS (SELECT * FROM events

@@ -292,3 +292,45 @@ def test_outer_join_needs_watermark_advance_to_flush_nulls(spark, tmp_path):
     # exists only in the advancer run
     assert _run(False, "0") == set()
     assert _run(True, "1") == {(1, None)}
+
+
+def test_session_window_merges_across_batches_and_needs_flush(spark, tmp_path):
+    """A27b session_window streaming: (1) a session spanning two
+    micro-batches merges into ONE window; (2) an inter-event gap EXACTLY
+    equal to the 6h gap still MERGES (Spark's merge bound is inclusive —
+    the st08 oracle's strict > operator); (3) append mode emits nothing until the
+    watermark passes a session's close point — end-of-input alone flushes
+    zero sessions, the advancer batch is what closes the books."""
+    from pyspark.sql import functions as F
+
+    def _run(batches, sub):
+        drop = _write_batches(tmp_path / sub, batches)
+        ev = stream_events(spark, drop, max_files_per_trigger=1)
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        tbl = run_available_now(agg, output_mode="append")
+        return {
+            (r["user_id"], str(r["w"]["start"]), str(r["w"]["end"]), r["n"])
+            for r in spark.table(tbl).filter("user_id >= 0").collect()
+        }
+
+    real = [
+        _events([(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+                 (2, "2024-01-01 10:00:00", 8, "click", 1.0)]),
+        _events([(3, "2024-01-01 12:00:00", 7, "click", 1.0),   # merges (2h < 6h)
+                 (4, "2024-01-01 16:00:00", 8, "click", 1.0)]),  # exact 6h: merges
+    ]
+    # without advancers: append emits nothing — no session ever closes
+    assert _run(real, "noflush") == set()
+    adv = [
+        _events([(100, "2024-03-01 10:00:00", -1, "click", 0.0)]),
+        _events([(101, "2024-05-01 10:00:00", -1, "click", 0.0)]),
+    ]
+    got = _run(real + adv, "flush")
+    assert got == {
+        (7, "2024-01-01 10:00:00", "2024-01-01 18:00:00", 2),  # merged session
+        (8, "2024-01-01 10:00:00", "2024-01-01 22:00:00", 2),  # exact-gap merge
+    }
